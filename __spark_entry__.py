@@ -1,38 +1,197 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: build the inverted index over the sf0.001
+documents corpus and answer a top-k BM25 query through the full
+build -> salted merge -> block-max pruned query pipeline.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+(SURVEY.md §2), each checked rank- and value-identical against DuckDB
+at sf0.01. Scores are rounded to 4 decimals on BOTH sides (ranking
+happens on raw float64 before rounding in both engines).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from opensearch_jvector_spark import oracle_sql as osql
+from opensearch_jvector_spark.config import EngineConfig
+
+# entry-point index config: small segments so sf0.001/sf0.01 corpora
+# exercise multi-segment, multi-chunk, multi-bucket code paths
+ENTRY_CONFIG = EngineConfig(
+    block_size=32,
+    docs_per_segment=256,
+    segments_per_chunk=2,
+    term_buckets=8,
+    max_row_postings=1 << 16,
+)
+
+_STORES: dict[str, object] = {}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _index_for(spark: SparkSession, sf_dir: str):
+    """Build (once per sf_dir per process) the documents index."""
+    from opensearch_jvector_spark.operators.segment_build import build_index
+
+    key = os.path.abspath(sf_dir)
+    if key not in _STORES:
+        root = os.path.join(
+            "/tmp/ojs_index", key.strip("/").replace("/", "_")
+        )
+        from opensearch_jvector_spark.sources.index_store import IndexStore
+
+        store = IndexStore(root)
+        if not os.path.exists(store.stats_path):
+            build_index(
+                spark, _docs(spark, sf_dir).select("doc_id", "text"), root,
+                ENTRY_CONFIG,
+            )
+        _STORES[key] = store
+    return _STORES[key]
+
+
+def _round_topk(df: DataFrame) -> DataFrame:
+    return df.select("doc_id", F.round("score", 4).alias("score"), "rank")
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from opensearch_jvector_spark.operators.wand import bm25_topk
+
+    store = _index_for(spark, "/root/testdata/sf0.001")
+    return _round_topk(bm25_topk(spark, store, ["spark", "merge", "join"], 10))
+
+
+# ---------------------------------------------------------------- queries
+
+def _q_topk(terms: list[str], k: int) -> Callable:
+    def f(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from opensearch_jvector_spark.operators.wand import bm25_topk
+
+        return _round_topk(bm25_topk(spark, _index_for(spark, sf_dir), terms, k))
+
+    return f
+
+
+def _q_topk_filtered(terms: list[str], k: int, lang: str) -> Callable:
+    def f(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from opensearch_jvector_spark.operators.wand import bm25_topk
+
+        allowed = _docs(spark, sf_dir).filter(F.col("lang") == lang).select("doc_id")
+        return _round_topk(
+            bm25_topk(spark, _index_for(spark, sf_dir), terms, k, allowed)
+        )
+
+    return f
+
+
+def _q_radial(terms: list[str], min_score: float) -> Callable:
+    def f(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from opensearch_jvector_spark.operators.wand import bm25_radial
+
+        return _round_topk(
+            bm25_radial(spark, _index_for(spark, sf_dir), terms, min_score)
+        )
+
+    return f
+
+
+def _q_bruteforce(terms: list[str], k: int) -> Callable:
+    def f(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from opensearch_jvector_spark.operators.bruteforce import (
+            bm25_topk_bruteforce,
+        )
+
+        return _round_topk(bm25_topk_bruteforce(_docs(spark, sf_dir), terms, k))
+
+    return f
+
+
+def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opensearch_jvector_spark.functions.tokenize import tokens_col
+
+    return (
+        _docs(spark, sf_dir)
+        .select(F.size(tokens_col("text")).alias("dl"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("dl"), 6).alias("avgdl"),
+            F.sum("dl").alias("sum_dl"),
+        )
+    )
+
+
+def _q_term_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opensearch_jvector_spark.operators.bruteforce import doc_terms, term_dfs
+
+    return (
+        term_dfs(doc_terms(_docs(spark, sf_dir)))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(20)
+    )
+
+
+def _q_docid_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dense docID assignment operator (GraphNodeIdToDocMap analog)
+    applied to documents keyed by (source, doc_id)."""
+    from opensearch_jvector_spark.operators.docid import assign_doc_ids
+
+    d = _docs(spark, sf_dir).select(
+        F.col("source").alias("conv_id"), F.col("doc_id").alias("turn_idx")
+    )
+    out = assign_doc_ids(d, num_partitions=4)
+    return out.select(
+        "conv_id",
+        F.col("turn_idx").alias("turn_key"),
+        F.col("doc_id").alias("global_doc_id"),
+    )
+
+
+def _q_segment_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = _index_for(spark, sf_dir)
+    return store.read_manifest(spark).select(
+        "seg_group", "n_docs", "n_terms", "sum_dl"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "bm25_topk_single": _q_topk(["spark"], 10),
+        "bm25_topk_multi": _q_topk(["merge", "join", "stream"], 10),
+        "bm25_topk_hot_term": _q_topk(["the"], 20),
+        "bm25_topk_filtered": _q_topk_filtered(["spark", "merge"], 10, "en"),
+        "bm25_radial": _q_radial(["spark", "merge"], 0.4),
+        "bm25_bruteforce": _q_bruteforce(["batch", "window"], 10),
+        "corpus_stats": _q_corpus_stats,
+        "term_dictionary": _q_term_dict,
+        "docid_dense_rank": _q_docid_dense_rank,
+        "segment_manifest": _q_segment_manifest,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "bm25_topk_single": osql.bm25_topk_sql(["spark"], 10),
+        "bm25_topk_multi": osql.bm25_topk_sql(["merge", "join", "stream"], 10),
+        "bm25_topk_hot_term": osql.bm25_topk_sql(["the"], 20),
+        "bm25_topk_filtered": osql.bm25_topk_sql(
+            ["spark", "merge"], 10, filter_where="d.lang = 'en'"
+        ),
+        "bm25_radial": osql.bm25_radial_sql(["spark", "merge"], 0.4),
+        "bm25_bruteforce": osql.bm25_topk_sql(["batch", "window"], 10),
+        "corpus_stats": osql.corpus_stats_sql(),
+        "term_dictionary": osql.term_dict_sql(20),
+        "docid_dense_rank": osql.docid_dense_rank_sql(),
+        "segment_manifest": osql.segment_manifest_sql(
+            ENTRY_CONFIG.docs_per_segment
+        ),
+    }

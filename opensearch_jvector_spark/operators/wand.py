@@ -1,0 +1,329 @@
+"""Top-k BM25 query engine — block-max pruned, exact.
+
+Reference trace (JVectorKnnFloatVectorQuery.approximateSearch ->
+JVectorReader.search, JVectorReader.java:131-212): per-segment ("leaf")
+search with an approximate score provider bounding an exact reranker,
+filtered by an acceptDocs bitmap, then per-leaf TopDocs merged globally.
+
+Our plan (SURVEY.md §3.1 Spark trace):
+  1. tokenize query -> global idf from the dictionary (pruned tiny read,
+     broadcast into the kernel closure);
+  2. scan ONLY the term_bucket partitions of the query terms with the
+     term filter pushed to parquet row groups;
+  3. cogroup postings with chunk norms by chunk_id -> one Arrow kernel
+     per (chunk) doc range runs MaxScore with block-max skipping:
+       - terms processed in descending score-upper-bound order
+         (term ub = max over blocks of score(max_tf, min_dl));
+       - while the suffix upper-bound sum can still beat the running
+         k-th score, terms are "essential": fully decoded, scored
+         vectorized into a dense accumulator;
+       - once suffix_ub < theta, no unseen doc can enter the top-k:
+         remaining terms decode ONLY blocks whose [first_doc, last_doc]
+         range intersects the candidate set (block-max skipping), and
+         update candidates only. Exact by the standard MaxScore
+         argument — theta never decreases.
+  4. per-chunk top-k unioned -> global orderBy(score desc, doc_id
+     asc).limit(k) (TakeOrderedAndProject — partial + final top-k,
+     the Lucene per-leaf + global merge analog).
+
+Filtered search (reference acceptDocs, JVectorReader.java:167-182) and
+radial search (min_score, KNNQueryBuilder.java:438-472) take the exact
+full-TAAT path — the reference likewise falls back to exact scoring for
+filtered/small cases (VectorIdsKNNIterator.java, KNNSettings.java:87).
+
+All kernels are numpy-vectorized over Arrow batches.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..config import EngineConfig
+from ..functions.bm25 import block_upper_bound, idf_np, score_np
+from ..functions.codec import decode_blocks
+from ..plans.query import Query
+from ..sources.index_store import IndexStore
+
+_RESULT_SCHEMA = "query_id string, doc_id long, score double"
+
+
+def _decode_term_rows(rows: list[dict]) -> tuple[np.ndarray, np.ndarray]:
+    """Decode all slices of one term within one chunk -> (docs, tfs)."""
+    rows = sorted(rows, key=lambda r: r["slice"])
+    ds, ts = [], []
+    for r in rows:
+        d, t = decode_blocks(
+            r["doc_bytes"], r["tf_bytes"],
+            np.asarray(r["block_first"], dtype=np.int64),
+            np.asarray(r["block_count"], dtype=np.int32),
+        )
+        ds.append(d)
+        ts.append(t)
+    return np.concatenate(ds), np.concatenate(ts)
+
+
+def _decode_term_rows_pruned(
+    rows: list[dict], cand_global: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode only blocks whose doc range intersects the sorted global
+    candidate ids (block-max skipping)."""
+    ds, ts = [], []
+    for r in sorted(rows, key=lambda r: r["slice"]):
+        first = np.asarray(r["block_first"], dtype=np.int64)
+        last = np.asarray(r["block_last"], dtype=np.int64)
+        lo = np.searchsorted(cand_global, first, side="left")
+        hi = np.searchsorted(cand_global, last, side="right")
+        sel = hi > lo
+        if not sel.any():
+            continue
+        d, t = decode_blocks(
+            r["doc_bytes"], r["tf_bytes"],
+            first, np.asarray(r["block_count"], dtype=np.int32),
+            block_sel=sel,
+            doc_off=np.asarray(r["block_doc_off"], dtype=np.int64),
+            tf_off=np.asarray(r["block_tf_off"], dtype=np.int64),
+        )
+        ds.append(d)
+        ts.append(t)
+    if not ds:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(ds), np.concatenate(ts)
+
+
+def _term_upper_bound(rows: list[dict], idf: float, avgdl: float, k1, b) -> float:
+    ub = 0.0
+    for r in rows:
+        u = block_upper_bound(
+            np.asarray(r["block_max_tf"], dtype=np.float64),
+            np.asarray(r["block_min_dl"], dtype=np.float64),
+            idf, avgdl, k1, b,
+        )
+        if len(u):
+            ub = max(ub, float(u.max()))
+    return ub
+
+
+def _query_kernel(
+    queries: list[tuple[str, tuple[str, ...], int | None, float | None]],
+    idfs: dict[str, float],
+    avgdl: float,
+    config_vals: tuple[float, float],
+    has_filter: bool,
+):
+    """Per-chunk kernel body, shared by all queries in the batch."""
+    k1, b = config_vals
+
+    def kernel(key, post_pdf: pd.DataFrame, norms_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(post_pdf) == 0 or len(norms_pdf) == 0:
+            return pd.DataFrame({"query_id": [], "doc_id": [], "score": []})
+        nrow = norms_pdf.iloc[0]
+        base = int(nrow["base_doc"])
+        dls = np.frombuffer(nrow["dl_bytes"], dtype=np.int32)
+        n_slots = len(dls)
+        mask = None
+        if has_filter and nrow.get("mask_bytes") is not None:
+            mask = np.unpackbits(
+                np.frombuffer(nrow["mask_bytes"], dtype=np.uint8)
+            )[:n_slots].astype(bool)
+        elif has_filter:
+            # filter present but no allowed docs in this chunk
+            return pd.DataFrame({"query_id": [], "doc_id": [], "score": []})
+
+        by_term: dict[str, list[dict]] = {}
+        for r in post_pdf.to_dict("records"):
+            by_term.setdefault(r["term"], []).append(r)
+        decode_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+
+        def full_decode(t: str):
+            if t not in decode_cache:
+                decode_cache[t] = _decode_term_rows(by_term[t])
+            return decode_cache[t]
+
+        out_q, out_d, out_s = [], [], []
+
+        for qid, qterms, k, min_score in queries:
+            terms = [t for t in qterms if t in by_term and t in idfs]
+            if not terms:
+                continue
+            ubs = np.array(
+                [_term_upper_bound(by_term[t], idfs[t], avgdl, k1, b) for t in terms]
+            )
+            order = np.argsort(-ubs, kind="stable")
+            terms = [terms[i] for i in order]
+            ubs = ubs[order]
+            suffix = np.concatenate((np.cumsum(ubs[::-1])[::-1], [0.0]))
+
+            acc = np.zeros(n_slots, dtype=np.float64)
+            touched = np.zeros(n_slots, dtype=bool)
+            use_pruning = mask is None and min_score is None and k is not None
+            theta = -np.inf
+            i = 0
+            n_terms = len(terms)
+            while i < n_terms:
+                if use_pruning and suffix[i] < theta:
+                    break
+                docs, tfs = full_decode(terms[i])
+                loc = docs - base
+                acc[loc] += score_np(tfs, dls[loc], idfs[terms[i]], avgdl, k1, b)
+                touched[loc] = True
+                i += 1
+                if use_pruning:
+                    tv = acc[touched]
+                    if len(tv) >= k:
+                        theta = np.partition(tv, len(tv) - k)[len(tv) - k]
+            if i < n_terms:
+                # non-essential phase: candidates only
+                cand = np.nonzero(touched & (acc + suffix[i] >= theta))[0]
+                cand_g = cand + base
+                for j in range(i, n_terms if len(cand_g) else i):
+                    docs, tfs = _decode_term_rows_pruned(by_term[terms[j]], cand_g)
+                    if not len(docs):
+                        continue
+                    pos = np.searchsorted(cand_g, docs)
+                    pos = np.minimum(pos, len(cand_g) - 1)
+                    hit = cand_g[pos] == docs
+                    loc = docs[hit] - base
+                    acc[loc] += score_np(
+                        tfs[hit], dls[loc], idfs[terms[j]], avgdl, k1, b
+                    )
+                sel = cand
+            else:
+                sel = np.nonzero(touched if mask is None else (touched & mask))[0]
+
+            if min_score is not None:
+                keep = sel[acc[sel] >= min_score]
+                out_q.extend([qid] * len(keep))
+                out_d.extend((keep + base).tolist())
+                out_s.extend(acc[keep].tolist())
+            else:
+                scores = acc[sel]
+                if len(sel) > k:
+                    part = np.argpartition(-scores, k - 1)[:k]
+                    # exact tie handling: take everything >= kth score,
+                    # final global sort breaks ties by doc_id
+                    kth = scores[part].min()
+                    keep_idx = np.nonzero(scores >= kth)[0]
+                else:
+                    keep_idx = np.arange(len(sel))
+                ordr = np.lexsort((sel[keep_idx], -scores[keep_idx]))[: k]
+                keep = keep_idx[ordr]
+                out_q.extend([qid] * len(keep))
+                out_d.extend((sel[keep] + base).tolist())
+                out_s.extend(scores[keep].tolist())
+
+        return pd.DataFrame(
+            {"query_id": out_q, "doc_id": out_d, "score": out_s}
+        )
+
+    return kernel
+
+
+def bm25_topk_batch(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: list[Query],
+    filter_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Answer a batch of queries against a built index.
+
+    Returns (query_id, doc_id, score, rank) with rank 1..k per query
+    (radial queries return all hits >= min_score, rank by score).
+    """
+    stats, config = store.read_stats()
+    avgdl = float(stats["avgdl"])
+    all_terms = sorted({t for q in queries for t in q.terms})
+    if not all_terms:
+        return spark.createDataFrame([], _RESULT_SCHEMA + ", rank int")
+
+    # global idf from the dictionary (pruned, tiny)
+    dict_rows = (
+        store.read_dictionary(spark).filter(F.col("term").isin(all_terms)).collect()
+    )
+    dfs = {r["term"]: r["df"] for r in dict_rows}
+    n_docs = float(stats["n_docs"])
+    idfs = {
+        t: float(idf_np(np.array([dfs[t]], dtype=np.float64), n_docs)[0])
+        for t in dfs
+    }
+
+    postings = store.read_postings_for_terms(spark, all_terms, config)
+    norms = store.read_norms(spark)
+    has_filter = filter_docs is not None
+    if has_filter:
+        dpc = config.docs_per_chunk
+
+        def bitmap_kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            (chunk_id,) = key
+            base = int(chunk_id) * dpc
+            bits = np.zeros(dpc, dtype=np.uint8)
+            loc = pdf["doc_id"].to_numpy().astype(np.int64) - base
+            bits[loc] = 1
+            return pd.DataFrame(
+                {"chunk_id": [int(chunk_id)], "mask_bytes": [np.packbits(bits).tobytes()]}
+            )
+
+        bitmaps = (
+            filter_docs.select(
+                F.col("doc_id"),
+                (F.col("doc_id") / dpc).cast("long").alias("chunk_id"),
+            )
+            .groupBy("chunk_id")
+            .applyInPandas(bitmap_kernel, schema="chunk_id long, mask_bytes binary")
+        )
+        norms = norms.join(bitmaps, "chunk_id", "left")
+    else:
+        norms = norms.withColumn("mask_bytes", F.lit(None).cast("binary"))
+
+    qspec = [(q.query_id, q.terms, q.k, q.min_score) for q in queries]
+    kernel = _query_kernel(
+        qspec, idfs, avgdl, (config.k1, config.b), has_filter
+    )
+    results = (
+        postings.groupBy("chunk_id")
+        .cogroup(norms.groupBy("chunk_id"))
+        .applyInPandas(kernel, schema=_RESULT_SCHEMA)
+    )
+
+    # global top-k per query
+    kmap = spark.createDataFrame(
+        [(q.query_id, q.k if q.k is not None else -1) for q in queries],
+        "query_id string, k int",
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        results.join(F.broadcast(kmap), "query_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter((F.col("k") < 0) | (F.col("rank") <= F.col("k")))
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+def bm25_topk(
+    spark: SparkSession,
+    store: IndexStore,
+    terms: list[str],
+    k: int,
+    filter_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Single-query convenience: (doc_id, score, rank)."""
+    q = Query("q", tuple(sorted(set(terms))), k)
+    return bm25_topk_batch(spark, store, [q], filter_docs).select(
+        "doc_id", "score", "rank"
+    )
+
+
+def bm25_radial(
+    spark: SparkSession,
+    store: IndexStore,
+    terms: list[str],
+    min_score: float,
+    filter_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Radial search (reference Q5): all docs with score >= min_score."""
+    q = Query("q", tuple(sorted(set(terms))), k=None, min_score=min_score)
+    return bm25_topk_batch(spark, store, [q], filter_docs).select(
+        "doc_id", "score", "rank"
+    )

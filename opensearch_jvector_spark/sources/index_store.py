@@ -1,0 +1,193 @@
+"""On-disk index layout + manifests — the segment/metadata file analog.
+
+Reference: each flush/merge writes a metadata file, an index data file
+and a score-cache file per segment (JVectorFormat.java:24-30), with
+offsets recorded in per-field metadata (JVectorWriter.java:416-457) and
+checksums verified at open (JVectorReader.checkIntegrity:84-96).
+
+Ours (all parquet; Iceberg is the cluster deployment target — its jars
+are not in this sandbox, so the store is a directory layout with the
+same append/snapshot semantics):
+
+  <root>/
+    build/                  per-wave build output, appended per wave;
+      wave=W/kind=postings/ (seg_group, term, df, blocks...)
+      wave=W/kind=norms/    (seg_group, base_doc, n_slots, dl_bytes)
+      wave=W/kind=manifest/ per-segment manifest rows
+    postings/               merged global index, partitioned by term_bucket
+    norms/                  merged per-chunk doc-length arrays
+    dictionary/             (term, df) global document frequencies
+    stats.json              corpus stats + the EngineConfig used to build
+
+A wave's postings+norms+manifest commit in ONE Spark write (job-level
+atomicity): either the whole wave exists (manifest rows present -> its
+seg_groups are checkpointed and skipped on resume) or none of it does.
+(Reference analog: checksum footers + BWC restart-upgrade suites,
+JVectorReader.java:84-96, qa/restart-upgrade/.../IndexingIT.java:46-358.)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import zlib
+from dataclasses import asdict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import EngineConfig
+
+# one combined schema for the per-wave build write; each `kind` uses the
+# columns relevant to it, the rest are null (parquet nulls cost ~0)
+BLOCK_COLS = (
+    "doc_bytes binary, tf_bytes binary, "
+    "block_first array<long>, block_last array<long>, block_count array<int>, "
+    "block_doc_off array<long>, block_tf_off array<long>, "
+    "block_max_tf array<int>, block_min_dl array<int>"
+)
+
+BUILD_SCHEMA = (
+    "wave int, kind string, seg_group long, term string, df int, "
+    + BLOCK_COLS
+    + ", base_doc long, n_slots int, dl_bytes binary"
+    + ", n_docs long, n_terms long, n_postings long, postings_bytes long,"
+    " sum_dl long, checksum string, build_ms double, terms_per_sec double,"
+    " skew_ratio double, lineage string"
+)
+
+SEGMENT_COLS = [
+    "seg_group", "term", "df", "doc_bytes", "tf_bytes", "block_first",
+    "block_last", "block_count", "block_doc_off", "block_tf_off",
+    "block_max_tf", "block_min_dl",
+]
+NORMS_COLS = ["seg_group", "base_doc", "n_slots", "dl_bytes"]
+MANIFEST_COLS = [
+    "seg_group", "n_docs", "n_terms", "n_postings", "postings_bytes",
+    "sum_dl", "checksum", "build_ms", "terms_per_sec", "skew_ratio", "lineage",
+]
+
+POSTINGS_SCHEMA = (
+    "term_bucket int, term string, chunk_id long, slice int, df int, " + BLOCK_COLS
+)
+
+CHUNK_NORMS_SCHEMA = "chunk_id long, base_doc long, n_slots int, dl_bytes binary"
+
+
+def term_bucket_py(term: str, n_buckets: int) -> int:
+    """Portable term -> partition bucket (crc32; same as term_bucket_col)."""
+    return zlib.crc32(term.encode("utf-8")) % n_buckets
+
+
+def term_bucket_col(term_col, n_buckets: int):
+    return (F.crc32(F.encode(term_col, "UTF-8")) % n_buckets).cast("int")
+
+
+class IndexStore:
+    def __init__(self, root: str):
+        self.root = root
+
+    @property
+    def build_path(self) -> str:
+        return os.path.join(self.root, "build")
+
+    @property
+    def postings_path(self) -> str:
+        return os.path.join(self.root, "postings")
+
+    @property
+    def norms_path(self) -> str:
+        return os.path.join(self.root, "norms")
+
+    @property
+    def dictionary_path(self) -> str:
+        return os.path.join(self.root, "dictionary")
+
+    @property
+    def stats_path(self) -> str:
+        return os.path.join(self.root, "stats.json")
+
+    # ---- stats + config ----
+    def write_stats(self, stats: dict, config: EngineConfig) -> None:
+        os.makedirs(self.root, exist_ok=True)
+        payload = {"stats": stats, "config": asdict(config)}
+        tmp = self.stats_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(payload, f, indent=2)
+        os.replace(tmp, self.stats_path)
+
+    def read_stats(self) -> tuple[dict, EngineConfig]:
+        with open(self.stats_path) as f:
+            payload = json.load(f)
+        return payload["stats"], EngineConfig(**payload["config"])
+
+    # ---- build-side tables ----
+    def _read_build(self, spark: SparkSession) -> DataFrame | None:
+        if not os.path.exists(self.build_path):
+            return None
+        return (
+            spark.read.schema(BUILD_SCHEMA)
+            .option("basePath", self.build_path)
+            .parquet(self.build_path)
+        )
+
+    def write_build_wave(self, df: DataFrame, wave: int) -> None:
+        """One atomic wave commit: postings + norms + manifest together."""
+        df.write.mode("errorifexists").partitionBy("kind").parquet(
+            os.path.join(self.build_path, f"wave={wave}")
+        )
+
+    def read_build_postings(self, spark: SparkSession) -> DataFrame:
+        b = self._read_build(spark)
+        return b.filter(F.col("kind") == "postings").select(SEGMENT_COLS)
+
+    def read_build_norms(self, spark: SparkSession) -> DataFrame:
+        b = self._read_build(spark)
+        return b.filter(F.col("kind") == "norms").select(NORMS_COLS)
+
+    def read_manifest(self, spark: SparkSession) -> DataFrame | None:
+        b = self._read_build(spark)
+        if b is None:
+            return None
+        return b.filter(F.col("kind") == "manifest").select(MANIFEST_COLS)
+
+    def completed_seg_groups(self, spark: SparkSession) -> set[int]:
+        m = self.read_manifest(spark)
+        if m is None:
+            return set()
+        return {r["seg_group"] for r in m.select("seg_group").distinct().collect()}
+
+    # ---- merged (query-side) tables ----
+    def read_postings(self, spark: SparkSession) -> DataFrame:
+        return (
+            spark.read.schema("term_bucket int, " + POSTINGS_SCHEMA.split(", ", 1)[1])
+            .option("basePath", self.postings_path)
+            .parquet(self.postings_path)
+        )
+
+    def read_postings_for_terms(
+        self, spark: SparkSession, terms: list[str], config: EngineConfig
+    ) -> DataFrame:
+        """Partition-pruned read: only the term_bucket directories that
+        can contain the query terms are listed/scanned, and the term
+        equality filter is pushed to parquet row groups (files are
+        sorted by term within each bucket)."""
+        buckets = sorted({term_bucket_py(t, config.term_buckets) for t in terms})
+        paths = [
+            os.path.join(self.postings_path, f"term_bucket={b}") for b in buckets
+        ]
+        paths = [p for p in paths if os.path.exists(p)]
+        if not paths:
+            return spark.createDataFrame([], POSTINGS_SCHEMA)
+        df = (
+            spark.read.schema(POSTINGS_SCHEMA)
+            .option("basePath", self.postings_path)
+            .parquet(*paths)
+        )
+        return df.filter(F.col("term").isin(terms))
+
+    def read_norms(self, spark: SparkSession) -> DataFrame:
+        return spark.read.schema(CHUNK_NORMS_SCHEMA).parquet(self.norms_path)
+
+    def read_dictionary(self, spark: SparkSession) -> DataFrame:
+        return spark.read.schema("term string, df long").parquet(self.dictionary_path)
