@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from opensearch_jvector_spark import oracle_sql as osql
+from opensearch_jvector_spark import oracle_sql_ops as osops
 from opensearch_jvector_spark.config import EngineConfig
 
 # entry-point index config: small segments so sf0.001/sf0.01 corpora
@@ -163,6 +164,108 @@ def _q_segment_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- dedup / similarity / text
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over a duplicate-injected derivation (the raw corpus
+    has no exact dups; the derivation is mirrored in the oracle SQL)."""
+    from opensearch_jvector_spark.operators.dedup import dedup_exact
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    dup = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return dedup_exact(docs.unionByName(dup))
+
+
+def _q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opensearch_jvector_spark.operators.dedup import dedup_ngram_jaccard
+
+    return dedup_ngram_jaccard(_docs(spark, sf_dir), n=3, threshold=0.4)
+
+
+def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opensearch_jvector_spark.operators.dedup import dedup_minhash_lsh
+
+    return dedup_minhash_lsh(
+        _docs(spark, sf_dir), num_hashes=16, bands=4, shingle_n=2, threshold=0.5
+    )
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opensearch_jvector_spark.operators.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir))
+
+
+def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opensearch_jvector_spark.operators.dedup import dedup_simhash
+
+    return dedup_simhash(_docs(spark, sf_dir), max_hamming=8)
+
+
+def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opensearch_jvector_spark.operators.dedup import dedup_embedding_cosine
+
+    return dedup_embedding_cosine(_embs(spark, sf_dir), threshold=0.4)
+
+
+def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list:
+    row = (
+        _embs(spark, sf_dir).filter(F.col("vec_id") == vec_id)
+        .select("embedding").first()
+    )
+    return [float(x) for x in row[0]]
+
+
+def _q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opensearch_jvector_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    return cosine_topk_bruteforce(
+        _embs(spark, sf_dir), _query_vec(spark, sf_dir), k=10
+    )
+
+
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opensearch_jvector_spark.operators.similarity import cosine_topk_ivf
+
+    return cosine_topk_ivf(
+        _embs(spark, sf_dir), _query_vec(spark, sf_dir), k=10,
+        n_centroids=16, n_probe=4,
+    )
+
+
+def _q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opensearch_jvector_spark.operators.textstats import language_id
+
+    return language_id(_docs(spark, sf_dir))
+
+
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opensearch_jvector_spark.operators.textstats import quality_score
+
+    return quality_score(_docs(spark, sf_dir))
+
+
+def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opensearch_jvector_spark.operators.textstats import token_counts
+
+    return token_counts(_docs(spark, sf_dir))
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opensearch_jvector_spark.operators.textstats import doc_fingerprint
+
+    return doc_fingerprint(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk_single": _q_topk(["spark"], 10),
@@ -175,6 +278,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_dictionary": _q_term_dict,
         "docid_dense_rank": _q_docid_dense_rank,
         "segment_manifest": _q_segment_manifest,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_ngram,
+        "dedup_minhash_lsh": _q_dedup_minhash,
+        "simhash_fingerprint": _q_simhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_embedding_cosine": _q_dedup_embedding,
+        "ann_cosine_topk": _q_ann_bruteforce,
+        "ann_cosine_ivf": _q_ann_ivf,
+        "language_id": _q_language_id,
+        "quality_score": _q_quality,
+        "token_counts": _q_token_counts,
+        "doc_fingerprint": _q_fingerprint,
     }
 
 
@@ -194,4 +309,20 @@ def oracle_sql() -> dict[str, str]:
         "segment_manifest": osql.segment_manifest_sql(
             ENTRY_CONFIG.docs_per_segment
         ),
+        "dedup_exact": osops.dedup_exact_sql(),
+        "dedup_ngram_jaccard": osops.dedup_ngram_jaccard_sql(n=3, threshold=0.4),
+        "dedup_minhash_lsh": osops.dedup_minhash_lsh_sql(
+            num_hashes=16, bands=4, shingle_n=2, threshold=0.5
+        ),
+        "simhash_fingerprint": osops.simhash_sql(),
+        "dedup_simhash": osops.dedup_simhash_sql(max_hamming=8),
+        "dedup_embedding_cosine": osops.dedup_embedding_cosine_sql(threshold=0.4),
+        "ann_cosine_topk": osops.cosine_topk_sql(query_vec_id=0, k=10),
+        "ann_cosine_ivf": osops.cosine_topk_ivf_sql(
+            query_vec_id=0, k=10, n_centroids=16, n_probe=4
+        ),
+        "language_id": osops.language_id_sql(),
+        "quality_score": osops.quality_score_sql(),
+        "token_counts": osops.token_counts_sql(),
+        "doc_fingerprint": osops.doc_fingerprint_sql(),
     }

@@ -214,7 +214,7 @@ def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text",
         .withColumn(
             "contrib",
             F.when(
-                F.shiftright(F.col("h"), F.col("bit")).bitwiseAND(F.lit(1)) == 1,
+                F.expr("shiftright(h, bit) & 1") == 1,
                 F.col("tf"),
             ).otherwise(-F.col("tf")),
         )
@@ -223,8 +223,8 @@ def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text",
     )
     return per_bit.groupBy("doc_id").agg(
         F.sum(
-            F.when(F.col("s") >= 0, F.shiftleft(F.lit(1).cast("long"), F.col("bit")))
-            .otherwise(0)
+            F.when(F.col("s") >= 0, F.expr("shiftleft(1L, bit)"))
+            .otherwise(F.lit(0).cast("long"))
         ).alias("simhash")
     )
 

@@ -1,0 +1,257 @@
+"""DuckDB oracle SQL for the dedup / similarity / text-analysis
+operators (operators/dedup.py, operators/similarity.py,
+operators/textstats.py).
+
+Every generator mirrors its Spark operator expression-for-expression:
+the same h32 (md5-substring) hash, the same minhash (a,b) parameters,
+the same float64 expression tree, the same rounding — so the driver's
+value-hash comparison agrees.
+"""
+
+from __future__ import annotations
+
+from .functions.hashing import MERSENNE31, minhash_params
+from .operators.textstats import (
+    BPE_PATTERN,
+    FP_BASE,
+    FP_MOD,
+    LANG_PROFILES,
+    STOPWORDS,
+)
+
+H32 = "(('0x' || substr(md5({e}), 1, 8))::BIGINT)"
+
+TOKS = (
+    "toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),"
+    " '[^a-z0-9]+'), t -> t <> '') AS ts FROM documents)"
+)
+
+# duplicate-injected derivation shared by the exact-dedup query pair
+DUP_DOCS = (
+    "d2 AS (SELECT doc_id, text FROM documents UNION ALL "
+    "SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 50)"
+)
+
+
+def _shingles_cte(n: int, src: str = "toks") -> str:
+    return (
+        f"sh AS (SELECT DISTINCT doc_id, unnest(list_transform("
+        f"range(1, len(ts) - {n} + 2), "
+        f"i -> array_to_string(list_slice(ts, i, i + {n} - 1), ' '))) AS shingle "
+        f"FROM {src} WHERE len(ts) >= {n})"
+    )
+
+
+def dedup_exact_sql() -> str:
+    return f"""WITH {DUP_DOCS}
+SELECT doc_id, keep_id FROM (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id FROM d2)
+WHERE doc_id <> keep_id"""
+
+
+_JACCARD_TAIL = """
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS c
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT doc_a, doc_b, round(c::DOUBLE / (sa.n_sh + sb.n_sh - c)::DOUBLE, 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE c::DOUBLE / (sa.n_sh + sb.n_sh - c)::DOUBLE >= {t!r}"""
+
+
+def dedup_ngram_jaccard_sql(n: int = 3, threshold: float = 0.4) -> str:
+    return (
+        f"WITH {TOKS},\n{_shingles_cte(n)},"
+        + _JACCARD_TAIL.format(t=threshold)
+    )
+
+
+def _minhash_cte(num_hashes: int, shingle_n: int) -> str:
+    params = minhash_params(num_hashes)
+    vals = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(params))
+    x = H32.format(e="shingle")
+    return f"""{TOKS},
+{_shingles_cte(shingle_n)},
+hp(hash_id, a, b) AS (VALUES {vals}),
+sig AS (
+  SELECT doc_id, hash_id,
+         min((a * {x} + b) % {MERSENNE31}) AS minhash
+  FROM sh CROSS JOIN hp GROUP BY doc_id, hash_id)"""
+
+
+def dedup_minhash_lsh_sql(
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 2,
+    threshold: float = 0.5,
+) -> str:
+    rpb = num_hashes // bands
+    return f"""WITH {_minhash_cte(num_hashes, shingle_n)},
+band AS (
+  SELECT doc_id, (hash_id // {rpb})::INTEGER AS band,
+         string_agg(minhash::VARCHAR, ',' ORDER BY hash_id) AS band_key
+  FROM sig GROUP BY doc_id, band),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM band a JOIN band b USING (band, band_key)
+  WHERE a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS c
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, round(c::DOUBLE / (sa.n_sh + sb.n_sh - c)::DOUBLE, 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE c::DOUBLE / (sa.n_sh + sb.n_sh - c)::DOUBLE >= {threshold!r}"""
+
+
+def _simhash_cte(bits: int = 32) -> str:
+    h = H32.format(e="term")
+    return f"""{TOKS},
+flat AS (SELECT doc_id, unnest(ts) AS term FROM toks),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf, {h} AS h
+       FROM flat GROUP BY doc_id, term),
+bits AS (SELECT unnest(range({bits}))::BIGINT AS bit),
+per_bit AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN (h >> bit) & 1 = 1 THEN tf ELSE -tf END) AS s
+  FROM tf CROSS JOIN bits GROUP BY doc_id, bit),
+sim AS (
+  SELECT doc_id,
+         sum(CASE WHEN s >= 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+  FROM per_bit GROUP BY doc_id)"""
+
+
+def simhash_sql(bits: int = 32) -> str:
+    return f"WITH {_simhash_cte(bits)}\nSELECT doc_id, simhash FROM sim"
+
+
+def dedup_simhash_sql(max_hamming: int = 8, bits: int = 32) -> str:
+    return f"""WITH {_simhash_cte(bits)},
+blocked AS (SELECT doc_id, simhash, simhash >> {bits // 2} AS blk FROM sim)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::INTEGER AS hamming
+FROM blocked a JOIN blocked b USING (blk)
+WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"""
+
+
+_EMB = """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ne AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e)"""
+
+
+def dedup_embedding_cosine_sql(threshold: float = 0.4) -> str:
+    return f"""WITH {_EMB}
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) AS cos
+FROM ne a, ne b
+WHERE a.vec_id < b.vec_id
+  AND list_dot_product(a.v, b.v) / (a.norm * b.norm) >= {threshold!r}"""
+
+
+def cosine_topk_sql(query_vec_id: int, k: int) -> str:
+    return f"""WITH {_EMB},
+q AS (SELECT v AS qv, norm AS qn FROM ne WHERE vec_id = {query_vec_id})
+SELECT vec_id, round(cos, 6) AS cos, rank FROM (
+  SELECT vec_id, list_dot_product(v, qv) / (norm * qn) AS cos,
+         row_number() OVER (ORDER BY list_dot_product(v, qv) / (norm * qn) DESC,
+                            vec_id ASC)::INTEGER AS rank
+  FROM ne CROSS JOIN q) WHERE rank <= {k}"""
+
+
+def cosine_topk_ivf_sql(
+    query_vec_id: int, k: int, n_centroids: int = 16, n_probe: int = 4
+) -> str:
+    return f"""WITH {_EMB},
+q AS (SELECT v AS qv, norm AS qn FROM ne WHERE vec_id = {query_vec_id}),
+cents AS (SELECT vec_id AS cell, v AS c, norm AS cn FROM ne
+          WHERE vec_id < {n_centroids}),
+probe AS (
+  SELECT cell FROM cents CROSS JOIN q
+  ORDER BY list_dot_product(c, qv) / (cn * qn) DESC, cell ASC
+  LIMIT {n_probe}),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT ne.vec_id, cents.cell,
+           row_number() OVER (
+             PARTITION BY ne.vec_id
+             ORDER BY list_dot_product(ne.v, cents.c) / (ne.norm * cents.cn) DESC,
+                      cents.cell ASC) AS rn
+    FROM ne CROSS JOIN cents) WHERE rn = 1),
+cand AS (SELECT vec_id FROM assign JOIN probe USING (cell))
+SELECT vec_id, round(cos, 6) AS cos, rank FROM (
+  SELECT ne.vec_id, list_dot_product(v, qv) / (norm * qn) AS cos,
+         row_number() OVER (ORDER BY list_dot_product(v, qv) / (norm * qn) DESC,
+                            ne.vec_id ASC)::INTEGER AS rank
+  FROM ne JOIN cand USING (vec_id) CROSS JOIN q) WHERE rank <= {k}"""
+
+
+def _in_list(words) -> str:
+    return "(" + ", ".join("'" + w + "'" for w in words) + ")"
+
+
+def language_id_sql() -> str:
+    langs = sorted(LANG_PROFILES)
+    hits = ",\n  ".join(
+        f"len(list_filter(ts, t -> t IN {_in_list(LANG_PROFILES[lang])}))"
+        f"::DOUBLE / greatest(len(ts), 1)::DOUBLE AS r_{lang}"
+        for lang in langs
+    )
+    all_r = ", ".join(f"r_{lang}" for lang in langs)
+    ladder = " ".join(
+        f"WHEN r_{lang} >= greatest({all_r}) THEN '{lang}'" for lang in langs
+    )
+    return f"""WITH {TOKS},
+scored AS (SELECT doc_id, len(ts) AS n,
+  {hits}
+FROM toks)
+SELECT doc_id,
+       CASE WHEN n = 0 OR greatest({all_r}) = 0.0 THEN 'und'
+            {ladder} END AS pred_lang,
+       round(greatest({all_r}), 6) AS lang_score
+FROM scored"""
+
+
+def quality_score_sql() -> str:
+    return f"""WITH {TOKS},
+feat AS (
+  SELECT doc_id,
+         len(ts)::INTEGER AS n_tokens,
+         len(list_filter(ts, t -> t IN {_in_list(STOPWORDS)}))::BIGINT AS n_stop,
+         len(list_distinct(ts))::BIGINT AS n_uniq,
+         list_reduce(list_prepend(0::BIGINT,
+           list_transform(ts, t -> length(t)::BIGINT)), (a, b) -> a + b) AS sum_len
+  FROM toks)
+SELECT doc_id, n_tokens,
+       round(n_stop::DOUBLE / greatest(n_tokens, 1)::DOUBLE, 6) AS stop_ratio,
+       round(n_uniq::DOUBLE / greatest(n_tokens, 1)::DOUBLE, 6) AS uniq_ratio,
+       round(sum_len::DOUBLE / greatest(n_tokens, 1)::DOUBLE, 6) AS mean_tok_len,
+       round((least(n_tokens::DOUBLE / 20.0, 1.0)
+              + (1.0 - abs(n_stop::DOUBLE / greatest(n_tokens, 1)::DOUBLE - 0.3) / 0.7)
+              + n_uniq::DOUBLE / greatest(n_tokens, 1)::DOUBLE) / 3.0, 6) AS quality
+FROM feat"""
+
+
+def token_counts_sql() -> str:
+    return f"""SELECT doc_id,
+       len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))::INTEGER
+         AS ws_tokens,
+       len(regexp_extract_all(text, '{BPE_PATTERN}'))::INTEGER AS bpe_tokens,
+       length(text)::INTEGER AS n_chars
+FROM documents"""
+
+
+def doc_fingerprint_sql() -> str:
+    h = H32.format(e="t")
+    return f"""WITH {TOKS}
+SELECT doc_id,
+       list_reduce(list_prepend(0::BIGINT, list_transform(ts, t -> {h})),
+                   (acc, x) -> (acc * {FP_BASE} + x) % {FP_MOD}) AS fingerprint
+FROM toks"""

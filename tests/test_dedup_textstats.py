@@ -1,0 +1,135 @@
+"""Semantic unit tests for dedup / similarity / textstats operators —
+properties the DuckDB oracle equality test can't express (recall
+relationships between exact and approximate variants, order
+sensitivity, planted-duplicate discovery)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox leaps over the lazy dog"),  # near dup of 0
+        (3, "dog lazy the over jumps fox brown quick the"),  # permutation of 0
+        (4, "completely different content about spark engines"),
+        (5, "spark engines process completely different content"),
+        (6, "a b c d e f g h i j k l m n o p"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_exact_finds_planted_dup(docs):
+    from opensearch_jvector_spark.operators.dedup import dedup_exact
+
+    out = {(r.doc_id, r.keep_id) for r in dedup_exact(docs).collect()}
+    assert out == {(1, 0)}
+
+
+def test_ngram_jaccard_finds_near_dup_not_permutation(docs):
+    from opensearch_jvector_spark.operators.dedup import dedup_ngram_jaccard
+
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_ngram_jaccard(docs, n=3, threshold=0.35).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    # one substituted word in 9 tokens -> 4 shared of 10 total 3-grams
+    assert (0, 2) in pairs and pairs[(0, 2)] == 0.4
+    # a token permutation shares no 3-grams
+    assert (0, 3) not in pairs
+
+
+def test_minhash_lsh_candidates_subset_verified(docs):
+    from opensearch_jvector_spark.operators.dedup import (
+        dedup_minhash_lsh,
+        dedup_ngram_jaccard,
+    )
+
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_minhash_lsh(
+            docs, num_hashes=16, bands=8, shingle_n=2, threshold=0.5
+        ).collect()
+    }
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_ngram_jaccard(docs, n=2, threshold=0.5).collect()
+    }
+    # LSH verifies candidates with exact jaccard -> always a subset,
+    # and the identical pair must survive any banding
+    assert lsh <= exact
+    assert (0, 1) in lsh
+
+
+def test_simhash_identical_and_near(docs):
+    from opensearch_jvector_spark.operators.dedup import dedup_simhash, simhash
+
+    sh = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    assert sh[0] == sh[1]
+    # simhash is order-insensitive over tf: permutation hashes equal
+    assert sh[0] == sh[3]
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup_simhash(docs, max_hamming=10).collect()
+    }
+    assert pairs.get((0, 1)) == 0
+
+
+def test_fingerprint_order_sensitive(docs):
+    from opensearch_jvector_spark.operators.textstats import doc_fingerprint
+
+    fp = {r.doc_id: r.fingerprint for r in doc_fingerprint(docs).collect()}
+    assert fp[0] == fp[1]       # identical text -> identical fingerprint
+    assert fp[0] != fp[3]       # permutation -> different (order-sensitive)
+    assert all(0 <= v < (1 << 32) for v in fp.values())
+
+
+def test_language_id_und_on_empty(spark):
+    from opensearch_jvector_spark.operators.textstats import language_id
+
+    d = spark.createDataFrame(
+        [(0, ""), (1, "the cat is on the mat"), (2, "xyzzy plugh")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.pred_lang for r in language_id(d).collect()}
+    assert out[0] == "und"
+    assert out[1] == "en"
+    assert out[2] == "und"  # no profile hits
+
+
+def test_quality_score_ranges(docs):
+    from opensearch_jvector_spark.operators.textstats import quality_score
+
+    for r in quality_score(docs).collect():
+        assert 0.0 <= r.stop_ratio <= 1.0
+        assert 0.0 < r.uniq_ratio <= 1.0
+        assert r.n_tokens > 0
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    from opensearch_jvector_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+    )
+
+    embs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = [float(x) for x in embs.filter(F.col("vec_id") == 7).first()["embedding"]]
+    exact = [r.vec_id for r in cosine_topk_bruteforce(embs, q, 10).collect()]
+    approx = [
+        r.vec_id
+        for r in cosine_topk_ivf(embs, q, 10, n_centroids=8, n_probe=8).collect()
+    ]
+    # probing ALL cells must equal brute force (rank-identical)
+    assert approx == exact
+    some = [
+        r.vec_id
+        for r in cosine_topk_ivf(embs, q, 10, n_centroids=8, n_probe=3).collect()
+    ]
+    # pruned probe: results are a subset of the corpus ranked exactly;
+    # recall floor mirrors the reference's recall suite (>= 0.5 of 10)
+    assert len(set(some) & set(exact)) >= 5
