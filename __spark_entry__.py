@@ -266,6 +266,52 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprint(_docs(spark, sf_dir))
 
 
+_APPEND_SPLIT = 250
+_APPEND_TERMS = ["spark", "stream", "merge"]
+
+
+def _q_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance e2e: build a base index over
+    doc_id < split, then append the rest through the streaming append
+    path (chunk-aligned re-ID), then query the combined index."""
+    from opensearch_jvector_spark.operators.segment_build import build_index
+    from opensearch_jvector_spark.operators.wand import bm25_topk
+    from opensearch_jvector_spark.sources.index_store import IndexStore
+    from opensearch_jvector_spark.streaming.incremental import append_index
+
+    key = "append::" + os.path.abspath(sf_dir)
+    if key not in _STORES:
+        root = os.path.join(
+            "/tmp/ojs_index_append",
+            os.path.abspath(sf_dir).strip("/").replace("/", "_"),
+        )
+        store = IndexStore(root)
+        docs = _docs(spark, sf_dir)
+        if not os.path.exists(store.stats_path):
+            build_index(
+                spark,
+                docs.filter(F.col("doc_id") < _APPEND_SPLIT)
+                .select("doc_id", "text"),
+                root,
+                ENTRY_CONFIG,
+            )
+        tail = docs.filter(F.col("doc_id") >= _APPEND_SPLIT).select(
+            F.col("source").alias("conv_id"),
+            F.col("doc_id").alias("turn_idx"),
+            "text",
+        )
+        append_index(spark, store, tail, batch_tag="entry-append")
+        _STORES[key] = store
+    return _round_topk(
+        bm25_topk(spark, _STORES[key], _APPEND_TERMS, 10)
+    )
+
+
+def _append_base(sf_dir: str) -> int:
+    dpc = ENTRY_CONFIG.docs_per_chunk
+    return (-(-_APPEND_SPLIT // dpc)) * dpc
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk_single": _q_topk(["spark"], 10),
@@ -290,6 +336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality,
         "token_counts": _q_token_counts,
         "doc_fingerprint": _q_fingerprint,
+        "incremental_append_topk": _q_incremental_append,
     }
 
 
@@ -325,4 +372,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": osops.quality_score_sql(),
         "token_counts": osops.token_counts_sql(),
         "doc_fingerprint": osops.doc_fingerprint_sql(),
+        "incremental_append_topk": osops.incremental_append_topk_sql(
+            _APPEND_SPLIT, _append_base(""), _APPEND_TERMS, 10
+        ),
     }

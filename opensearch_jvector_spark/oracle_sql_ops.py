@@ -248,6 +248,42 @@ def token_counts_sql() -> str:
 FROM documents"""
 
 
+def incremental_append_topk_sql(
+    split_id: int, append_base: int, terms: list[str], k: int,
+    k1: float = 1.2, b: float = 0.75,
+) -> str:
+    """Oracle for the incremental-append engine path: documents with
+    doc_id < split_id are the base index; the rest are appended with
+    doc_ids ``append_base + rank(source, doc_id)`` (the chunk-aligned
+    re-ID the streaming layer performs). BM25 top-k over the union must
+    match the engine's post-append answer exactly."""
+    inner = ", ".join("'" + t.replace("'", "''") + "'" for t in sorted(set(terms)))
+    return f"""WITH d2 AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < {split_id}
+  UNION ALL
+  SELECT {append_base} + row_number() OVER (ORDER BY source ASC, doc_id ASC) - 1
+           AS doc_id, text
+  FROM documents WHERE doc_id >= {split_id}),
+toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+         '[^a-z0-9]+'), t -> t <> '') AS ts FROM d2),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(len(ts))::DOUBLE AS avgdl FROM toks),
+flat AS (SELECT doc_id, len(ts) AS dl, unnest(ts) AS term FROM toks),
+tf AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf FROM flat
+       WHERE term IN ({inner}) GROUP BY ALL),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5))
+             * (tf.tf * ({k1!r} + 1.0))
+             / (tf.tf + {k1!r} * (1.0 - {b!r} + {b!r} * (tf.dl / st.avgdl)))) AS s
+  FROM tf JOIN dfs USING (term) CROSS JOIN stats st
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(s, 4) AS score, rank FROM (
+  SELECT doc_id, s,
+         row_number() OVER (ORDER BY s DESC, doc_id ASC)::INTEGER AS rank
+  FROM scored) WHERE rank <= {k}"""
+
+
 def doc_fingerprint_sql() -> str:
     h = H32.format(e="t")
     return f"""WITH {TOKS}
