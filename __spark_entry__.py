@@ -266,6 +266,39 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprint(_docs(spark, sf_dir))
 
 
+_N_MEDIA = 60
+
+
+def _media(spark: SparkSession) -> DataFrame:
+    from opensearch_jvector_spark.operators.multimodal import synthetic_media
+
+    return synthetic_media(spark, _N_MEDIA)
+
+
+def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column -> typed metadata struct (blob header parse;
+    oracle recomputes the generator's size formulas without blobs)."""
+    from opensearch_jvector_spark.operators.multimodal import media_metadata
+
+    return media_metadata(_media(spark))
+
+
+def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opensearch_jvector_spark.operators.multimodal import sample_frames
+
+    return sample_frames(_media(spark), every=2).select("media_id", "frame_idx")
+
+
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + feature-extract (no SQL-expressible oracle: requires
+    parsing binary payloads; driver records the rows-only check)."""
+    from opensearch_jvector_spark.operators.multimodal import media_features
+
+    return media_features(_media(spark)).select(
+        "media_id", "modality", F.round("mean_val", 6).alias("mean_val")
+    )
+
+
 _APPEND_SPLIT = 250
 _APPEND_TERMS = ["spark", "stream", "merge"]
 
@@ -337,6 +370,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "doc_fingerprint": _q_fingerprint,
         "incremental_append_topk": _q_incremental_append,
+        "media_metadata": _q_media_metadata,
+        "media_frame_sample": _q_media_frames,
+        "media_features": _q_media_features,
     }
 
 
@@ -375,4 +411,8 @@ def oracle_sql() -> dict[str, str]:
         "incremental_append_topk": osops.incremental_append_topk_sql(
             _APPEND_SPLIT, _append_base(""), _APPEND_TERMS, 10
         ),
+        "media_metadata": osops.media_metadata_sql(_N_MEDIA),
+        "media_frame_sample": osops.media_frame_sample_sql(_N_MEDIA, every=2),
+        # media_features intentionally has no oracle_sql: the oracle
+        # would need to parse binary blobs (rows-only check applies)
     }

@@ -284,6 +284,34 @@ SELECT doc_id, round(s, 4) AS score, rank FROM (
   FROM scored) WHERE rank <= {k}"""
 
 
+def media_metadata_sql(n: int, seed: int = 0) -> str:
+    """Independent oracle for the OJSM blob metadata parse: the
+    synthetic generator's size formulas recomputed in SQL — the engine
+    path synthesizes real binary blobs and parses their headers; this
+    never touches a blob."""
+    return f"""SELECT i::BIGINT AS media_id,
+       CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+         AS modality,
+       (8 + (i * 7 + {seed}) % 24)::INTEGER AS width,
+       (8 + (i * 5 + {seed}) % 16)::INTEGER AS height,
+       (CASE WHEN i % 3 = 1 THEN 1 ELSE 3 END)::INTEGER AS channels,
+       (CASE WHEN i % 3 = 0 THEN 1 ELSE 2 + i % 4 END)::INTEGER AS n_frames,
+       ((8 + (i * 7 + {seed}) % 24) * (8 + (i * 5 + {seed}) % 16)
+        * CASE WHEN i % 3 = 1 THEN 1 ELSE 3 END
+        * CASE WHEN i % 3 = 0 THEN 1 ELSE 2 + i % 4 END)::BIGINT
+         AS payload_bytes
+FROM generate_series(0, {n - 1}) t(i)"""
+
+
+def media_frame_sample_sql(n: int, every: int = 2) -> str:
+    """Oracle for video frame sampling: ids i % 3 = 2 emit frames
+    0, every, ... < (2 + i % 4)."""
+    return f"""SELECT i::BIGINT AS media_id,
+       unnest(range(0, 2 + i % 4, {every}))::INTEGER AS frame_idx
+FROM generate_series(0, {n - 1}) t(i)
+WHERE i % 3 = 2"""
+
+
 def doc_fingerprint_sql() -> str:
     h = H32.format(e="t")
     return f"""WITH {TOKS}
