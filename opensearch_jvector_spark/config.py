@@ -61,6 +61,14 @@ class EngineConfig:
     # thresholds)
     exact_search_threshold: int = 1024
 
+    # small-query fast path: when a warmed store holds driver-side
+    # norms and the query terms' total postings fit under this cap, the
+    # query runs entirely driver-side on the pruned parquet slices (no
+    # Spark job — the reference's exact-search-threshold switch,
+    # KNNSettings.java:70, applied to job-dispatch overhead). Large or
+    # filtered queries always take the distributed path.
+    driver_topk_max_postings: int = 5_000_000
+
     def __post_init__(self) -> None:
         if self.block_size < 2:
             raise ValueError("block_size must be >= 2")

@@ -58,6 +58,8 @@ def tokenize_arrow(text: pa.Array) -> tuple[np.ndarray, pa.Array, np.ndarray]:
 
     Entirely pyarrow/numpy — no per-row Python.
     """
+    from .runtime import limit_worker_threads
+    limit_worker_threads()
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
     lowered = pc.utf8_lower(pc.coalesce(text, pa.scalar("")))

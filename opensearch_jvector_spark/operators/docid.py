@@ -42,6 +42,10 @@ def conversation_offsets(df: DataFrame, num_partitions: int | None = None) -> Da
     def local_cumsum(batches):
         from pyspark import TaskContext
 
+        from ..functions.runtime import limit_worker_threads
+
+        limit_worker_threads()
+
         pid = TaskContext.get().partitionId()
         run = 0
         for pdf in batches:
@@ -83,10 +87,56 @@ def conversation_offsets(df: DataFrame, num_partitions: int | None = None) -> Da
     )
 
 
-def assign_doc_ids(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
+def assign_doc_ids(
+    df: DataFrame,
+    num_partitions: int | None = None,
+    dense_turn_idx: bool | None = None,
+    broadcast_offsets: bool = True,
+) -> DataFrame:
     """Add dense ``doc_id`` = rank of (conv_id, turn_idx) to a
-    transcripts DataFrame. Deterministic, no global sort."""
+    transcripts DataFrame. Deterministic, no global sort.
+
+    Fast path (``dense_turn_idx``): when turn_idx is already dense
+    0..n-1 within every conversation — the transcripts-table contract —
+    rank-within-conv IS turn_idx, so ``doc_id = conv_offset + turn_idx``
+    needs only a broadcast join: ZERO shuffles of the turn table and no
+    window sort (at 10^12 turns the window shuffle is the single
+    biggest cost of the slow path). Auto-detected when None via one
+    cheap aggregate over the per-conv counts already computed for the
+    offsets; falls back to the general window path if any conversation
+    has sparse/duplicated turn_idx.
+
+    ``broadcast_offsets``: hint the offsets side of the join as
+    broadcast (right for up to ~10M conversations). Set False at
+    extreme conversation counts — the join becomes a shuffle hash join
+    on conv_id but the plan stays window-free.
+    """
     offs = conversation_offsets(df, num_partitions)
+    if dense_turn_idx is None:
+        probe = (
+            df.groupBy("conv_id")
+            .agg(
+                F.count("*").alias("n"),
+                F.max("turn_idx").alias("mx"),
+                F.min("turn_idx").alias("mn"),
+                F.countDistinct("turn_idx").alias("nd"),
+            )
+            .filter(
+                (F.col("mx") != F.col("n") - 1)
+                | (F.col("mn") != 0)
+                | (F.col("nd") != F.col("n"))
+            )
+        )
+        dense_turn_idx = probe.isEmpty()
+    if dense_turn_idx:
+        o = offs.select("conv_id", "conv_offset")
+        if broadcast_offsets:
+            o = F.broadcast(o)
+        return (
+            df.join(o, "conv_id")
+            .withColumn("doc_id", F.col("conv_offset") + F.col("turn_idx"))
+            .drop("conv_offset")
+        )
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     return (
         df.join(offs.select("conv_id", "conv_offset"), "conv_id")

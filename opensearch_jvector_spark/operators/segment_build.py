@@ -48,18 +48,23 @@ def _with_all_cols(df: pd.DataFrame) -> pd.DataFrame:
     return df[_KERNEL_COLS]
 
 
-def _build_segment_kernel(config: EngineConfig, lineage: str):
-    """Returns the applyInPandas kernel: one seg_group in, posting rows
-    + one norms row + one manifest row out."""
+def _encode_slice(
+    doc_ids: np.ndarray,
+    text: "pa.Array",
+    seg: int,
+    sub: int,
+    config: EngineConfig,
+    lineage: str,
+) -> pd.DataFrame:
+    """Encode one contiguous ascending-doc_id slice of one segment into
+    posting rows + a norms row + a manifest row. ``sub`` is the slice's
+    first doc_id — the merge orders same-(term,chunk) rows by
+    (seg_group, sub), and blocks are self-contained (absolute
+    block_first; deltas never cross blocks), so slices from ANY
+    partitioning merge correctly."""
     bs = config.block_size
-    dps = config.docs_per_segment
-
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    if True:  # keep the original body's indentation
         t0 = time.perf_counter()
-        seg = int(pdf["seg_group"].iloc[0])
-        order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
-        doc_ids = pdf["doc_id"].to_numpy()[order].astype(np.int64)
-        text = pa.array(pdf["text"].to_numpy()[order], type=pa.string())
         row_idx, flat, dl = tokenize_arrow(text)
 
         # postings: sort token stream by (term_code, row) — rows are in
@@ -144,6 +149,7 @@ def _build_segment_kernel(config: EngineConfig, lineage: str):
         rows = {
             "kind": ["postings"] * n_terms,
             "seg_group": np.full(n_terms, seg, dtype=np.int64),
+            "sub": np.full(n_terms, sub, dtype=np.int64),
             "term": term_strs,
             "df": t_counts.astype(np.int32),
             "doc_bytes": [
@@ -177,8 +183,10 @@ def _build_segment_kernel(config: EngineConfig, lineage: str):
         }
         out = pd.DataFrame(rows)
 
-        # norms row: int32 dl per slot over [base, max_doc]
-        base = seg * dps
+        # norms row: int32 dl per slot over [first_doc, last_doc] of
+        # THIS slice — slices of one segment cover disjoint doc ranges,
+        # so the chunk-norms merge fills them independently
+        base = int(doc_ids[0]) if len(doc_ids) else 0
         n_slots = int(doc_ids[-1] - base + 1) if len(doc_ids) else 0
         dl_arr = np.zeros(n_slots, dtype=np.int32)
         dl_arr[doc_ids - base] = dl
@@ -225,15 +233,85 @@ def _build_segment_kernel(config: EngineConfig, lineage: str):
             ignore_index=True,
         )
 
+
+def _build_segment_kernel(config: EngineConfig, lineage: str):
+    """applyInPandas kernel (grouped layout): one whole seg_group in,
+    posting rows + one norms row + one manifest row out."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        seg = int(pdf["seg_group"].iloc[0])
+        order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
+        doc_ids = pdf["doc_id"].to_numpy()[order].astype(np.int64)
+        text = pa.array(pdf["text"].to_numpy()[order], type=pa.string())
+        return _encode_slice(
+            doc_ids, text, seg, int(doc_ids[0]), config, lineage
+        )
+
     return kernel
+
+
+def _direct_build_iter(config: EngineConfig, lineage: str):
+    """mapInPandas iterator (ranged layout): NO shuffle. Each Arrow
+    batch is split at segment boundaries and every slice encoded
+    independently; the merge stitches slices via (seg_group, sub).
+    Right when the input is already partitioned/sorted by key range
+    (e.g. an Iceberg table sorted by (conv_id, turn_idx)) — the 100TB
+    path, where a groupBy shuffle of the full text would be the
+    dominant cost of the whole build."""
+    dps = config.docs_per_segment
+
+    def it(batches):
+        from ..functions.runtime import limit_worker_threads
+
+        limit_worker_threads()
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
+            doc_ids = pdf["doc_id"].to_numpy()[order].astype(np.int64)
+            texts = pdf["text"].to_numpy()[order]
+            segs = doc_ids // dps
+            cut = np.nonzero(np.diff(segs))[0] + 1
+            bounds = np.concatenate(([0], cut, [len(doc_ids)]))
+            parts = []
+            for i in range(len(bounds) - 1):
+                lo, hi = int(bounds[i]), int(bounds[i + 1])
+                ids = doc_ids[lo:hi]
+                parts.append(
+                    _encode_slice(
+                        ids,
+                        pa.array(texts[lo:hi], type=pa.string()),
+                        int(segs[lo]),
+                        int(ids[0]),
+                        config,
+                        lineage,
+                    )
+                )
+            yield pd.concat(parts, ignore_index=True)
+
+    return it
 
 
 def build_segments_df(
     docs: DataFrame,
     config: EngineConfig = DEFAULT_CONFIG,
     lineage: str = "build",
+    layout: str = "grouped",
 ) -> DataFrame:
-    """docs(doc_id long, text string) -> combined build rows (lazy)."""
+    """docs(doc_id long, text string) -> combined build rows (lazy).
+
+    layout="grouped": one shuffle (groupBy seg_group), whole segments
+    per task — any input partitioning.
+    layout="ranged": NO shuffle — each input partition encodes its
+    doc-range slices in place (mapInPandas); the merge stitches slices
+    by (seg_group, sub=first_doc). Use when the input is already
+    range-partitioned by key (sorted Iceberg table / staged docid
+    output) — at 100TB this removes the full-text shuffle, the
+    single largest byte-mover of the whole build."""
+    if layout == "ranged":
+        return docs.select("doc_id", "text").mapInPandas(
+            _direct_build_iter(config, lineage), schema=_BUILD_KERNEL_SCHEMA
+        )
     with_seg = docs.select(
         "doc_id", "text",
         (F.col("doc_id") / config.docs_per_segment).cast("long").alias("seg_group"),
@@ -252,6 +330,7 @@ def build_index(
     resume: bool = True,
     lineage: str = "build",
     fail_after_wave: int | None = None,
+    layout: str = "grouped",
 ) -> IndexStore:
     """Build (or resume) the segment layer, then merge into the global
     index. ``waves`` splits the doc space into that many sequential
@@ -292,7 +371,9 @@ def build_index(
         wave_docs = docs.filter(
             ((F.col("doc_id") / config.docs_per_segment).cast("long")).isin(todo)
         )
-        out = build_segments_df(wave_docs, config, lineage=f"{lineage}/wave={w}")
+        out = build_segments_df(
+            wave_docs, config, lineage=f"{lineage}/wave={w}", layout=layout
+        )
         store.write_build_wave(out, wave=existing_waves + w)
         if fail_after_wave is not None and w >= fail_after_wave:
             raise RuntimeError(f"injected failure after wave {w}")

@@ -117,6 +117,9 @@ def _query_kernel(
     k1, b = config_vals
 
     def kernel(key, post_pdf: pd.DataFrame, norms_pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.runtime import limit_worker_threads
+
+        limit_worker_threads()
         if len(post_pdf) == 0 or len(norms_pdf) == 0:
             return pd.DataFrame({"query_id": [], "doc_id": [], "score": []})
         nrow = norms_pdf.iloc[0]
@@ -221,6 +224,65 @@ def _query_kernel(
     return kernel
 
 
+def _local_topk(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: list[Query],
+    idfs: dict[str, float],
+    avgdl: float,
+    config,
+) -> DataFrame:
+    """Driver-side exact path for small queries: pruned pyarrow read of
+    the matching posting slices, the SAME per-chunk kernel run locally
+    over the warmed driver norms, then the same global tie-break.
+    Rank-identical to the distributed path by construction (shared
+    kernel + shared final ordering); no Spark job is dispatched until
+    the (tiny) result DataFrame is created."""
+    tbl = store.read_postings_arrow(list(idfs), config)
+    qspec = [(q.query_id, q.terms, q.k, q.min_score) for q in queries]
+    kernel = _query_kernel(qspec, idfs, avgdl, (config.k1, config.b), False)
+    parts = []
+    if tbl is not None and tbl.num_rows:
+        pdf = tbl.to_pandas()
+        for chunk_id, grp in pdf.groupby("chunk_id"):
+            entry = store._driver_norms.get(int(chunk_id))
+            if entry is None:
+                continue
+            base, dls = entry
+            norms_pdf = pd.DataFrame(
+                {
+                    "chunk_id": [int(chunk_id)],
+                    "base_doc": [base],
+                    "n_slots": [len(dls)],
+                    "dl_bytes": [dls.tobytes()],
+                    "mask_bytes": [None],
+                }
+            )
+            parts.append(kernel((int(chunk_id),), grp, norms_pdf))
+    if parts:
+        res = pd.concat(parts, ignore_index=True)
+    else:
+        res = pd.DataFrame({"query_id": [], "doc_id": [], "score": []})
+    # global per-query rank: (score desc, doc_id asc) — identical to
+    # the distributed window
+    out_rows = {"query_id": [], "doc_id": [], "score": [], "rank": []}
+    kmap = {q.query_id: q.k for q in queries}
+    for qid, grp in res.groupby("query_id"):
+        scores = grp["score"].to_numpy()
+        docs = grp["doc_id"].to_numpy().astype(np.int64)
+        order = np.lexsort((docs, -scores))
+        k = kmap.get(qid)
+        if k is not None and k >= 0 and k < len(order):
+            order = order[:k]
+        out_rows["query_id"].extend([qid] * len(order))
+        out_rows["doc_id"].extend(docs[order].tolist())
+        out_rows["score"].extend(scores[order].tolist())
+        out_rows["rank"].extend(range(1, len(order) + 1))
+    return spark.createDataFrame(
+        pd.DataFrame(out_rows), schema=_RESULT_SCHEMA + ", rank int"
+    )
+
+
 def bm25_topk_batch(
     spark: SparkSession,
     store: IndexStore,
@@ -238,16 +300,23 @@ def bm25_topk_batch(
     if not all_terms:
         return spark.createDataFrame([], _RESULT_SCHEMA + ", rank int")
 
-    # global idf from the dictionary (pruned, tiny)
-    dict_rows = (
-        store.read_dictionary(spark).filter(F.col("term").isin(all_terms)).collect()
-    )
-    dfs = {r["term"]: r["df"] for r in dict_rows}
+    # global idf from the dictionary (pruned tiny read, or the warm
+    # driver-side cache after store.warm())
+    dfs = store.term_dfs_for(spark, all_terms)
     n_docs = float(stats["n_docs"])
     idfs = {
         t: float(idf_np(np.array([dfs[t]], dtype=np.float64), n_docs)[0])
         for t in dfs
     }
+
+    # small-query fast path (reference exact-search-threshold analog):
+    # warmed driver norms + bounded postings volume -> no Spark job
+    if (
+        filter_docs is None
+        and store._driver_norms is not None
+        and sum(dfs.values()) <= config.driver_topk_max_postings
+    ):
+        return _local_topk(spark, store, queries, idfs, avgdl, config)
 
     postings = store.read_postings_for_terms(spark, all_terms, config)
     norms = store.read_norms(spark)

@@ -13,6 +13,10 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra: dict | None = None,
 ) -> SparkSession:
+    # worker kernels must be single-threaded (Spark tasks are the
+    # parallelism unit); python workers inherit this env from the JVM
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     cores = cores or os.environ.get("SPARK_GRAFT_CPUS", "*")
     b = (
         SparkSession.builder.master(f"local[{cores}]")
@@ -24,7 +28,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode: the driver JVM heap is ALL executor memory — size
+        # it for the task-thread count or 32 concurrent tasks GC-thrash
+        # an 8g heap (measured 3x build slowdown at local[32])
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # re-run stragglers: on shared hosts one stalled task otherwise
+        # gates every stage barrier (same reason real clusters enable it)
+        .config("spark.speculation", "true")
+        .config("spark.speculation.multiplier", "2")
+        .config("spark.speculation.quantile", "0.75")
     )
     if shuffle_partitions is not None:
         b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))

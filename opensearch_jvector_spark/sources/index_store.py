@@ -48,7 +48,7 @@ BLOCK_COLS = (
 )
 
 BUILD_SCHEMA = (
-    "wave int, kind string, seg_group long, term string, df int, "
+    "wave int, kind string, seg_group long, sub long, term string, df int, "
     + BLOCK_COLS
     + ", base_doc long, n_slots int, dl_bytes binary"
     + ", n_docs long, n_terms long, n_postings long, postings_bytes long,"
@@ -57,7 +57,7 @@ BUILD_SCHEMA = (
 )
 
 SEGMENT_COLS = [
-    "seg_group", "term", "df", "doc_bytes", "tf_bytes", "block_first",
+    "seg_group", "sub", "term", "df", "doc_bytes", "tf_bytes", "block_first",
     "block_last", "block_count", "block_doc_off", "block_tf_off",
     "block_max_tf", "block_min_dl",
 ]
@@ -187,7 +187,102 @@ class IndexStore:
         return df.filter(F.col("term").isin(terms))
 
     def read_norms(self, spark: SparkSession) -> DataFrame:
+        if self._norms_cache is not None:
+            return self._norms_cache
         return spark.read.schema(CHUNK_NORMS_SCHEMA).parquet(self.norms_path)
 
     def read_dictionary(self, spark: SparkSession) -> DataFrame:
         return spark.read.schema("term string, df long").parquet(self.dictionary_path)
+
+    # ---- warm query path ----
+    # Reference analog: the reader's lazily-mmapped per-segment state +
+    # quantization state cache (JVectorReader.java:277-317,
+    # QuantizationStateCache.java). For repeated queries against one
+    # store, cache the chunk norms (small: one row per chunk) in
+    # executor memory and the term dictionary driver-side; cold queries
+    # work identically without warming.
+    _norms_cache: DataFrame | None = None
+    _dict_cache: dict | None = None
+    _driver_norms: dict | None = None
+
+    def warm(
+        self, spark: SparkSession, driver_norms_limit: int = 256 << 20
+    ) -> "IndexStore":
+        if self._norms_cache is None:
+            self._norms_cache = (
+                spark.read.schema(CHUNK_NORMS_SCHEMA)
+                .parquet(self.norms_path)
+                .persist()
+            )
+            self._norms_cache.count()
+        if self._dict_cache is None:
+            self._dict_cache = {
+                r["term"]: r["df"]
+                for r in self.read_dictionary(spark).collect()
+            }
+        if self._driver_norms is None:
+            # driver-side norms enable the no-Spark-job small-query
+            # path; only when the whole norms table is driver-sized
+            # (at 10^12 turns it is NOT — the distributed path remains)
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(
+                self.norms_path,
+                columns=["chunk_id", "base_doc", "dl_bytes"],
+            )
+            total = sum(len(b) for b in t["dl_bytes"].to_pylist())
+            if total <= driver_norms_limit:
+                import numpy as np
+
+                self._driver_norms = {
+                    int(c): (int(b), np.frombuffer(raw, dtype=np.int32))
+                    for c, b, raw in zip(
+                        t["chunk_id"].to_pylist(),
+                        t["base_doc"].to_pylist(),
+                        t["dl_bytes"].to_pylist(),
+                    )
+                }
+        return self
+
+    def invalidate(self) -> None:
+        """Drop warm caches (call after an incremental append)."""
+        if self._norms_cache is not None:
+            self._norms_cache.unpersist()
+            self._norms_cache = None
+        self._dict_cache = None
+        self._driver_norms = None
+
+    def read_postings_arrow(self, terms: list[str], config: EngineConfig):
+        """Driver-side pruned postings read (no Spark): only the
+        term_bucket directories of the query terms are opened, with the
+        term filter pushed to parquet row groups (files are term-sorted
+        so row-group min/max stats skip)."""
+        import pyarrow.dataset as pads
+
+        buckets = sorted({term_bucket_py(t, config.term_buckets) for t in terms})
+        paths = [
+            os.path.join(self.postings_path, f"term_bucket={b}") for b in buckets
+        ]
+        files = [
+            os.path.join(p, f)
+            for p in paths
+            if os.path.isdir(p)
+            for f in sorted(os.listdir(p))
+            if f.endswith(".parquet")
+        ]
+        if not files:
+            return None
+        dset = pads.dataset(files, format="parquet")
+        return dset.to_table(
+            filter=pads.field("term").isin(terms)
+        )
+
+    def term_dfs_for(self, spark: SparkSession, terms: list[str]) -> dict:
+        if self._dict_cache is not None:
+            return {t: self._dict_cache[t] for t in terms if t in self._dict_cache}
+        rows = (
+            self.read_dictionary(spark)
+            .filter(F.col("term").isin(terms))
+            .collect()
+        )
+        return {r["term"]: r["df"] for r in rows}

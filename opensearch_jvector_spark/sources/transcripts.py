@@ -106,6 +106,9 @@ def transcripts(
     sd = _U64(seed)
 
     def gen(batches):
+        from ..functions.runtime import limit_worker_threads
+
+        limit_worker_threads()
         for pdf in batches:
             g = pdf["id"].to_numpy().astype(np.uint64)
             n = len(g)

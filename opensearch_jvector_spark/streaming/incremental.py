@@ -53,7 +53,7 @@ from ..sources.index_store import (
 )
 
 _MERGE_IN_COLS = [
-    "term", "chunk_id", "term_bucket", "seg_group", "df",
+    "term", "chunk_id", "term_bucket", "seg_group", "sub", "df",
     "doc_bytes", "tf_bytes", "block_first", "block_last", "block_count",
     "block_doc_off", "block_tf_off", "block_max_tf", "block_min_dl",
 ]
@@ -84,15 +84,16 @@ def _merge_new_chunks(
         )
         .select(_MERGE_IN_COLS)
     )
+    # same single-shuffle layout as merge_segments: (term_bucket,
+    # chunk_id) keys co-locate merge groups and match the output
+    # partitioning
     merged = (
-        pre.repartition("term", "chunk_id")
-        .sortWithinPartitions("term", "chunk_id", "seg_group")
+        pre.repartition("term_bucket", "chunk_id")
+        .sortWithinPartitions("term", "chunk_id", "seg_group", "sub")
         .mapInPandas(_merge_iter_factory(config), schema=POSTINGS_SCHEMA)
     )
     (
-        merged.repartition("term_bucket")
-        .sortWithinPartitions("term", "chunk_id", "slice")
-        .write.mode("append")
+        merged.write.mode("append")
         .partitionBy("term_bucket")
         .parquet(store.postings_path)
     )
@@ -247,6 +248,7 @@ def append_index(
     out = build_segments_df(docs, config, lineage=lineage)
     store.write_build_wave(out, wave=wave)
     _merge_new_chunks(spark, store, config, min_chunk=watermark)
+    store.invalidate()  # warm query caches are stale after an append
     return _apply_merged_stats(spark, store, stats, config, {lineage})
 
 
