@@ -119,6 +119,20 @@ def _q_bruteforce(terms: list[str], k: int) -> Callable:
     return f
 
 
+def _q_diversified(terms: list[str], k: int) -> Callable:
+    def f(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from opensearch_jvector_spark.operators.bruteforce import (
+            bm25_topk_diversified,
+        )
+
+        out = bm25_topk_diversified(_docs(spark, sf_dir), terms, k)
+        return out.select(
+            "group", "doc_id", F.round("score", 4).alias("score"), "rank"
+        )
+
+    return f
+
+
 def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from opensearch_jvector_spark.functions.tokenize import tokens_col
 
@@ -355,6 +369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_filtered": _q_topk_filtered(["spark", "merge"], 10, "en"),
         "bm25_radial": _q_radial(["spark", "merge"], 0.4),
         "bm25_bruteforce": _q_bruteforce(["batch", "window"], 10),
+        "bm25_diversified": _q_diversified(["spark", "merge"], 8),
         "corpus_stats": _q_corpus_stats,
         "term_dictionary": _q_term_dict,
         "docid_dense_rank": _q_docid_dense_rank,
@@ -388,6 +403,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_radial": osql.bm25_radial_sql(["spark", "merge"], 0.4),
         "bm25_bruteforce": osql.bm25_topk_sql(["batch", "window"], 10),
+        "bm25_diversified": osql.bm25_diversified_sql(["spark", "merge"], 8),
         "corpus_stats": osql.corpus_stats_sql(),
         "term_dictionary": osql.term_dict_sql(20),
         "docid_dense_rank": osql.docid_dense_rank_sql(),

@@ -110,3 +110,40 @@ def bm25_topk_bruteforce(
     return topk.withColumn("rank", F.row_number().over(w)).select(
         "doc_id", "score", "rank"
     )
+
+
+def bm25_topk_diversified(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """(group, doc_id, score, rank) — top-k with at most ONE hit per
+    group (best turn per conversation / best doc per source).
+
+    Reference analog: nested-field parent-child diversification —
+    NestedVectorIdsKNNIterator.java:77 and
+    GroupedNestedDocIdSetIterator.java:133 keep only the best child hit
+    per parent document. Spark-first: a partitioned window rank inside
+    each group, then the global top-k — two narrow shuffles, both on
+    uniform keys (group, then the k-row result)."""
+    scores = bm25_scores(docs, query_terms, text_col, id_col, None, k1, b)
+    with_grp = scores.join(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(group_col).alias("grp")),
+        "doc_id",
+    )
+    wg = Window.partitionBy("grp").orderBy(F.desc("score"), F.asc("doc_id"))
+    best = (
+        with_grp.withColumn("rn", F.row_number().over(wg))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    topk = best.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        F.col("grp").alias("group"), "doc_id", "score", "rank"
+    )

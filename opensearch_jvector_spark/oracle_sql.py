@@ -62,6 +62,21 @@ SELECT doc_id, round(s, 4) AS score, rank FROM (
   FROM scored WHERE s >= {min_score!r}) t"""
 
 
+def bm25_diversified_sql(terms: list[str], k: int, group_col: str = "source") -> str:
+    """One best hit per group (conversation/source), then global top-k —
+    oracle for the nested parent-child diversification analog."""
+    return f"""{bm25_cte(terms)},
+grouped AS (
+  SELECT d.{group_col} AS grp, s.doc_id, s.s,
+         row_number() OVER (PARTITION BY d.{group_col}
+                            ORDER BY s.s DESC, s.doc_id ASC) AS rn
+  FROM scored s JOIN documents d USING (doc_id))
+SELECT grp AS "group", doc_id, round(s, 4) AS score, rank FROM (
+  SELECT grp, doc_id, s,
+         row_number() OVER (ORDER BY s DESC, doc_id ASC)::INTEGER AS rank
+  FROM grouped WHERE rn = 1) WHERE rank <= {k}"""
+
+
 def corpus_stats_sql() -> str:
     return f"""WITH {TOKS_CTE}
 SELECT count(*)::BIGINT AS n_docs,
