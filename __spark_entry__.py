@@ -282,6 +282,33 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprint(_docs(spark, sf_dir))
 
 
+def _q_topk_ranged(terms: list[str], k: int) -> Callable:
+    """Same top-k through an index built with the shuffle-free ranged
+    layout — must be rank-identical to the grouped-build oracle."""
+
+    def f(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from opensearch_jvector_spark.operators.segment_build import build_index
+        from opensearch_jvector_spark.operators.wand import bm25_topk
+        from opensearch_jvector_spark.sources.index_store import IndexStore
+
+        key = "ranged::" + os.path.abspath(sf_dir)
+        if key not in _STORES:
+            root = os.path.join(
+                "/tmp/ojs_index_ranged",
+                os.path.abspath(sf_dir).strip("/").replace("/", "_"),
+            )
+            store = IndexStore(root)
+            if not os.path.exists(store.stats_path):
+                build_index(
+                    spark, _docs(spark, sf_dir).select("doc_id", "text"),
+                    root, ENTRY_CONFIG, layout="ranged",
+                )
+            _STORES[key] = store.warm(spark)
+        return _round_topk(bm25_topk(spark, _STORES[key], terms, k))
+
+    return f
+
+
 _N_MEDIA = 60
 
 
@@ -370,6 +397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_radial": _q_radial(["spark", "merge"], 0.4),
         "bm25_bruteforce": _q_bruteforce(["batch", "window"], 10),
         "bm25_diversified": _q_diversified(["spark", "merge"], 8),
+        "bm25_topk_ranged_build": _q_topk_ranged(["filter", "scan"], 10),
         "corpus_stats": _q_corpus_stats,
         "term_dictionary": _q_term_dict,
         "docid_dense_rank": _q_docid_dense_rank,
@@ -404,6 +432,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_radial": osql.bm25_radial_sql(["spark", "merge"], 0.4),
         "bm25_bruteforce": osql.bm25_topk_sql(["batch", "window"], 10),
         "bm25_diversified": osql.bm25_diversified_sql(["spark", "merge"], 8),
+        "bm25_topk_ranged_build": osql.bm25_topk_sql(["filter", "scan"], 10),
         "corpus_stats": osql.corpus_stats_sql(),
         "term_dictionary": osql.term_dict_sql(20),
         "docid_dense_rank": osql.docid_dense_rank_sql(),
