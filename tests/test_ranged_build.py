@@ -76,3 +76,24 @@ def test_ranged_stats_match_grouped(spark, tmp_path, docs):
     sr, _ = r.read_stats()
     for key in ("n_docs", "sum_dl", "avgdl", "n_postings", "n_terms", "max_df"):
         assert sg[key] == sr[key], key
+
+
+def test_ranged_resume_after_crash(spark, tmp_path, docs):
+    """Wave-checkpointed resume works for the ranged layout too: crash
+    after wave 0, resume, and the final index answers identically to an
+    uninterrupted build (reference analog: restart-upgrade suites)."""
+    root = str(tmp_path / "rr")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        build_index(
+            spark, docs, root, CFG, waves=3, layout="ranged",
+            fail_after_wave=0,
+        )
+    store = build_index(spark, docs, root, CFG, waves=3, layout="ranged")
+    clean = build_index(
+        spark, docs, str(tmp_path / "rc"), CFG, waves=3, layout="ranged"
+    )
+    for terms in TERMS:
+        assert _topk(spark, store, terms) == _topk(spark, clean, terms)
+    sg, _ = store.read_stats()
+    sc, _ = clean.read_stats()
+    assert sg["n_docs"] == sc["n_docs"] and sg["n_postings"] == sc["n_postings"]
