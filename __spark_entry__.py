@@ -222,7 +222,9 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from opensearch_jvector_spark.operators.dedup import dedup_simhash
 
-    return dedup_simhash(_docs(spark, sf_dir), max_hamming=8)
+    # h=3 => 4-band exact blocking; the oracle is BRUTE FORCE over all
+    # pairs (semantic contract), not a replica of the banding
+    return dedup_simhash(_docs(spark, sf_dir), max_hamming=3)
 
 
 def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -445,7 +447,7 @@ def oracle_sql() -> dict[str, str]:
             num_hashes=16, bands=4, shingle_n=2, threshold=0.5
         ),
         "simhash_fingerprint": osops.simhash_sql(),
-        "dedup_simhash": osops.dedup_simhash_sql(max_hamming=8),
+        "dedup_simhash": osops.dedup_simhash_sql(max_hamming=3),
         "dedup_embedding_cosine": osops.dedup_embedding_cosine_sql(threshold=0.4),
         "ann_cosine_topk": osops.cosine_topk_sql(query_vec_id=0, k=10),
         "ann_cosine_ivf": osops.cosine_topk_ivf_sql(

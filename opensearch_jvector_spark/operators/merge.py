@@ -44,7 +44,12 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT_CONFIG, EngineConfig
-from ..sources.index_store import POSTINGS_SCHEMA, IndexStore, term_bucket_col
+from ..sources.index_store import (
+    CHUNK_NORMS_SCHEMA,
+    POSTINGS_SCHEMA,
+    IndexStore,
+    term_bucket_col,
+)
 
 _MERGE_IN_COLS = [
     "term", "chunk_id", "term_bucket", "seg_group", "sub", "df",
@@ -237,7 +242,14 @@ def _merge_batch(pdf: pd.DataFrame, cap: int) -> pd.DataFrame:
             )
         )
     if split_rows:
+        # re-sort so files stay strictly (term, chunk_id, slice)-ordered
+        # — read_postings_for_terms/read_postings_arrow rely on term
+        # ordering for parquet row-group min/max skipping. Split groups
+        # are rare (salted stopwords), so this sort is nearly a no-op.
         out = pd.concat([out, pd.DataFrame(split_rows)], ignore_index=True)
+        out = out.sort_values(
+            ["term", "chunk_id", "slice"], kind="stable", ignore_index=True
+        )
     return out
 
 
@@ -291,12 +303,18 @@ def _merge_norms_kernel(config: EngineConfig):
                 # values. dl=0 means "no tokens" -> no postings -> never
                 # scored, so max is exact for scoring.
                 np.maximum(sl, np.frombuffer(raw, dtype=np.int32), out=sl)
+        # exact per-chunk doc counts ride along (slices hold disjoint
+        # doc SETS even when ranges interleave, so sums are exact);
+        # compaction uses these to adjust corpus stats without ever
+        # rescanning postings
         return pd.DataFrame(
             {
                 "chunk_id": [int(chunk_id)],
                 "base_doc": [base],
                 "n_slots": [len(arr)],
                 "dl_bytes": [arr.tobytes()],
+                "n_docs": [int(pdf["n_docs"].sum())],
+                "sum_dl": [int(pdf["sum_dl"].sum())],
             }
         )
 
@@ -334,21 +352,28 @@ def merge_segments(
         .parquet(store.postings_path)
     )
 
-    # global dictionary: two-stage exact df aggregation from partials
+    # global dictionary: two-stage exact df aggregation from partials,
+    # written bucket-partitioned (same pruning as postings; at 10^12
+    # turns the vocabulary is billions of terms — a single-partition
+    # write would funnel them through one task)
     dictionary = segs.groupBy("term").agg(F.sum("df").alias("df"))
-    dictionary.repartition(1).sortWithinPartitions("term").write.mode(
-        "overwrite"
-    ).parquet(store.dictionary_path)
+    import os
+
+    n_waves = (
+        len([d for d in os.listdir(store.build_path) if d.startswith("wave=")])
+        if os.path.exists(store.build_path)
+        else 0
+    )
+    dict_seq = store.write_dictionary(
+        dictionary, config, covers=f"full-wave{n_waves}"
+    )
 
     # chunk norms
     norms = store.read_build_norms(spark)
     (
         norms.withColumn("chunk_id", (F.col("seg_group") / spc).cast("long"))
         .groupBy("chunk_id")
-        .applyInPandas(
-            _merge_norms_kernel(config),
-            schema="chunk_id long, base_doc long, n_slots int, dl_bytes binary",
-        )
+        .applyInPandas(_merge_norms_kernel(config), schema=CHUNK_NORMS_SCHEMA)
         .write.mode("overwrite")
         .parquet(store.norms_path)
     )
@@ -362,9 +387,10 @@ def merge_segments(
         F.sum("n_postings").alias("n_postings"),
         F.sum("postings_bytes").alias("postings_bytes"),
         F.count("*").alias("n_segments"),
+        F.max("seg_group").alias("max_seg"),
     ).collect()[0]
     skew = (
-        spark.read.parquet(store.dictionary_path)
+        store.read_dictionary(spark)
         .agg(
             F.max("df").alias("max_df"),
             F.avg("df").alias("mean_df"),
@@ -380,6 +406,11 @@ def merge_segments(
         "n_postings": int(agg["n_postings"] or 0),
         "postings_bytes": int(agg["postings_bytes"] or 0),
         "n_segments": int(agg["n_segments"]),
+        "n_chunks": (
+            int(agg["max_seg"]) // config.segments_per_chunk + 1
+            if agg["max_seg"] is not None
+            else 0
+        ),
         "n_terms": int(skew["n_terms"] or 0),
         "max_df": int(skew["max_df"] or 0),
         "term_skew_ratio": (
@@ -387,6 +418,8 @@ def merge_segments(
             if skew["mean_df"]
             else 1.0
         ),
+        "dict_version": dict_seq,
     }
     store.write_stats(stats, config)
+    store.gc_dictionaries(dict_seq)
     return stats

@@ -197,6 +197,11 @@ def _encode_slice(
                 "base_doc": [base],
                 "n_slots": [n_slots],
                 "dl_bytes": [dl_arr.tobytes()],
+                # exact doc counts per slice (disjoint doc sets => the
+                # chunk-norms merge can sum them; empty-text docs count
+                # here even though their dl is 0)
+                "n_docs": [len(doc_ids)],
+                "sum_dl": [int(dl.sum())],
             }
         )
 
@@ -365,12 +370,16 @@ def build_index(
         w_hi = min(seg_hi, w_lo + per_wave - 1)
         if w_lo > seg_hi:
             break
-        todo = [s for s in range(w_lo, w_hi + 1) if s not in done]
-        if not todo:
+        done_in_wave = [s for s in range(w_lo, w_hi + 1) if s in done]
+        if len(done_in_wave) == w_hi - w_lo + 1:
             continue
-        wave_docs = docs.filter(
-            ((F.col("doc_id") / config.docs_per_segment).cast("long")).isin(todo)
-        )
+        # range predicate, NOT a literal id list: at 10^12 turns a wave
+        # spans millions of seg ids and an isin() would bloat the plan;
+        # resume excludes the (bounded, usually empty) done subset only
+        seg_col = (F.col("doc_id") / config.docs_per_segment).cast("long")
+        wave_docs = docs.filter((seg_col >= w_lo) & (seg_col <= w_hi))
+        if done_in_wave:
+            wave_docs = wave_docs.filter(~seg_col.isin(done_in_wave))
         out = build_segments_df(
             wave_docs, config, lineage=f"{lineage}/wave={w}", layout=layout
         )

@@ -134,13 +134,16 @@ def simhash_sql(bits: int = 32) -> str:
 
 
 def dedup_simhash_sql(max_hamming: int = 8, bits: int = 32) -> str:
-    return f"""WITH {_simhash_cte(bits)},
-blocked AS (SELECT doc_id, simhash, simhash >> {bits // 2} AS blk FROM sim)
+    """BRUTE-FORCE oracle over all pairs — the semantic contract ("every
+    pair within hamming <= h"), NOT a replica of the engine's banded
+    blocking. The round-1 oracle replicated the (incomplete) top-half
+    blocking, which made the check circular; the engine's h+1-band
+    scheme is exact by pigeonhole, so it must match this."""
+    return f"""WITH {_simhash_cte(bits)}
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        bit_count(xor(a.simhash, b.simhash))::INTEGER AS hamming
-FROM blocked a JOIN blocked b USING (blk)
-WHERE a.doc_id < b.doc_id
-  AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"""
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"""
 
 
 _EMB = """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -12,24 +12,50 @@ same append/snapshot semantics):
   <root>/
     build/                  per-wave build output, appended per wave;
       wave=W/kind=postings/ (seg_group, term, df, blocks...)
-      wave=W/kind=norms/    (seg_group, base_doc, n_slots, dl_bytes)
+      wave=W/kind=norms/    (seg_group, base_doc, n_slots, dl_bytes, ...)
       wave=W/kind=manifest/ per-segment manifest rows
-    postings/               merged global index, partitioned by term_bucket
-    norms/                  merged per-chunk doc-length arrays
-    dictionary/             (term, df) global document frequencies
-    stats.json              corpus stats + the EngineConfig used to build
+    postings/               merged base index, partitioned by term_bucket
+    norms/                  merged per-chunk doc-length arrays + counts
+    deltas/<name>/          one atomic incremental-append unit:
+      postings/term_bucket=*/   chunk-disjoint merged postings
+      norms/                    the new chunks' norms rows
+    dictionary/vNNNNNN/     immutable (term, df) versions, bucketed by
+                            term_bucket; highest committed version wins
+    tombstones/<name>/      deleted doc_ids, one atomic batch per dir
+    stats.json              THE SNAPSHOT POINTER: corpus stats + config
+                            + the visible delta names, chunk overrides
+                            and tombstone batches. Readers see exactly
+                            the state stats.json references — a crashed
+                            append leaves published-but-unreferenced
+                            dirs that recovery re-links idempotently.
 
-A wave's postings+norms+manifest commit in ONE Spark write (job-level
-atomicity): either the whole wave exists (manifest rows present -> its
-seg_groups are checkpointed and skipped on resume) or none of it does.
-(Reference analog: checksum footers + BWC restart-upgrade suites,
-JVectorReader.java:84-96, qa/restart-upgrade/.../IndexingIT.java:46-358.)
+Atomicity protocol (reference analog: checksum footers + BWC
+restart-upgrade suites, JVectorReader.java:84-96, qa/restart-upgrade/
+.../IndexingIT.java:46-358; the snapshot-pointer design is Iceberg's
+metadata-file model re-expressed on a filesystem):
+
+  * a build wave commits in ONE Spark write (postings+norms+manifest
+    under wave=W/ — either all visible or none);
+  * a delta is STAGED at deltas/.tmp_<name> (two Spark writes) and
+    PUBLISHED by a single atomic directory rename;
+  * a dictionary version directory is immutable once its _covers.json
+    marker exists; the marker names the merge step that produced it,
+    so crash recovery can tell "already computed" from "recompute";
+  * stats.json is swapped with os.replace — the only mutation readers
+    ever observe.
+
+Scale notes (10^12 turns): the dictionary is partitioned by term_bucket
+(same pruning as postings — a query touches only its terms' buckets;
+NO single-partition write, NO unconditional driver collect). Norms are
+one row per chunk (~2M rows at 10^12 turns) carrying exact per-chunk
+n_docs/sum_dl so stats updates after compaction never rescan postings.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import zlib
 from dataclasses import asdict
 
@@ -37,6 +63,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import EngineConfig
+
+STORE_FORMAT = 2
 
 # one combined schema for the per-wave build write; each `kind` uses the
 # columns relevant to it, the rest are null (parquet nulls cost ~0)
@@ -61,7 +89,7 @@ SEGMENT_COLS = [
     "block_last", "block_count", "block_doc_off", "block_tf_off",
     "block_max_tf", "block_min_dl",
 ]
-NORMS_COLS = ["seg_group", "base_doc", "n_slots", "dl_bytes"]
+NORMS_COLS = ["seg_group", "base_doc", "n_slots", "dl_bytes", "n_docs", "sum_dl"]
 MANIFEST_COLS = [
     "seg_group", "n_docs", "n_terms", "n_postings", "postings_bytes",
     "sum_dl", "checksum", "build_ms", "terms_per_sec", "skew_ratio", "lineage",
@@ -70,8 +98,15 @@ MANIFEST_COLS = [
 POSTINGS_SCHEMA = (
     "term_bucket int, term string, chunk_id long, slice int, df int, " + BLOCK_COLS
 )
+# what query-side readers see: leaf files only, no partition column
+QUERY_POSTINGS_SCHEMA = POSTINGS_SCHEMA.split(", ", 1)[1]
 
-CHUNK_NORMS_SCHEMA = "chunk_id long, base_doc long, n_slots int, dl_bytes binary"
+CHUNK_NORMS_SCHEMA = (
+    "chunk_id long, base_doc long, n_slots int, dl_bytes binary, "
+    "n_docs long, sum_dl long"
+)
+
+DICTIONARY_SCHEMA = "term string, df long"
 
 
 def term_bucket_py(term: str, n_buckets: int) -> int:
@@ -81,6 +116,15 @@ def term_bucket_py(term: str, n_buckets: int) -> int:
 
 def term_bucket_col(term_col, n_buckets: int):
     return (F.crc32(F.encode(term_col, "UTF-8")) % n_buckets).cast("int")
+
+
+def _bucket_dirs(prefix: str, buckets: list[int]) -> list[str]:
+    out = []
+    for b in buckets:
+        p = os.path.join(prefix, f"term_bucket={b}")
+        if os.path.isdir(p):
+            out.append(p)
+    return out
 
 
 class IndexStore:
@@ -100,17 +144,32 @@ class IndexStore:
         return os.path.join(self.root, "norms")
 
     @property
-    def dictionary_path(self) -> str:
+    def deltas_path(self) -> str:
+        return os.path.join(self.root, "deltas")
+
+    @property
+    def dictionary_root(self) -> str:
         return os.path.join(self.root, "dictionary")
+
+    @property
+    def tombstones_path(self) -> str:
+        return os.path.join(self.root, "tombstones")
 
     @property
     def stats_path(self) -> str:
         return os.path.join(self.root, "stats.json")
 
-    # ---- stats + config ----
+    # ---- stats + config (the snapshot pointer) ----
     def write_stats(self, stats: dict, config: EngineConfig) -> None:
         os.makedirs(self.root, exist_ok=True)
-        payload = {"stats": stats, "config": asdict(config)}
+        stats.setdefault("deltas", [])
+        stats.setdefault("chunk_overrides", {})
+        stats.setdefault("tombstone_batches", [])
+        payload = {
+            "format": STORE_FORMAT,
+            "stats": stats,
+            "config": asdict(config),
+        }
         tmp = self.stats_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(payload, f, indent=2)
@@ -119,16 +178,48 @@ class IndexStore:
     def read_stats(self) -> tuple[dict, EngineConfig]:
         with open(self.stats_path) as f:
             payload = json.load(f)
-        return payload["stats"], EngineConfig(**payload["config"])
+        if payload.get("format") != STORE_FORMAT:
+            raise ValueError(
+                f"index store at {self.root} has format "
+                f"{payload.get('format')}, expected {STORE_FORMAT}; rebuild"
+            )
+        stats = payload["stats"]
+        stats.setdefault("deltas", [])
+        stats.setdefault("chunk_overrides", {})
+        stats.setdefault("tombstone_batches", [])
+        return stats, EngineConfig(**payload["config"])
+
+    def format_ok(self) -> bool:
+        """True iff stats.json exists and is the current store format."""
+        try:
+            self.read_stats()
+            return True
+        except (OSError, ValueError, TypeError):
+            return False
 
     # ---- build-side tables ----
-    def _read_build(self, spark: SparkSession) -> DataFrame | None:
+    def _read_build(
+        self, spark: SparkSession, waves: list[int] | None = None
+    ) -> DataFrame | None:
+        """Build-layer read. ``waves`` prunes the scan to those wave
+        DIRECTORIES — incremental appends pass their own wave ids so the
+        job's input is O(batch), not O(every wave ever built) (a row
+        filter alone would still LIST AND OPEN all historical files)."""
         if not os.path.exists(self.build_path):
             return None
+        if waves is None:
+            paths = [self.build_path]
+        else:
+            paths = [
+                os.path.join(self.build_path, f"wave={w}") for w in waves
+            ]
+            paths = [p for p in paths if os.path.isdir(p)]
+            if not paths:
+                return spark.createDataFrame([], BUILD_SCHEMA)
         return (
             spark.read.schema(BUILD_SCHEMA)
             .option("basePath", self.build_path)
-            .parquet(self.build_path)
+            .parquet(*paths)
         )
 
     def write_build_wave(self, df: DataFrame, wave: int) -> None:
@@ -137,12 +228,16 @@ class IndexStore:
             os.path.join(self.build_path, f"wave={wave}")
         )
 
-    def read_build_postings(self, spark: SparkSession) -> DataFrame:
-        b = self._read_build(spark)
+    def read_build_postings(
+        self, spark: SparkSession, waves: list[int] | None = None
+    ) -> DataFrame:
+        b = self._read_build(spark, waves)
         return b.filter(F.col("kind") == "postings").select(SEGMENT_COLS)
 
-    def read_build_norms(self, spark: SparkSession) -> DataFrame:
-        b = self._read_build(spark)
+    def read_build_norms(
+        self, spark: SparkSession, waves: list[int] | None = None
+    ) -> DataFrame:
+        b = self._read_build(spark, waves)
         return b.filter(F.col("kind") == "norms").select(NORMS_COLS)
 
     def read_manifest(self, spark: SparkSession) -> DataFrame | None:
@@ -157,42 +252,258 @@ class IndexStore:
             return set()
         return {r["seg_group"] for r in m.select("seg_group").distinct().collect()}
 
+    # ---- delta publication (atomic rename protocol) ----
+    def delta_stage_path(self, name: str) -> str:
+        return os.path.join(self.deltas_path, f".tmp_{name}")
+
+    def delta_path(self, name: str) -> str:
+        return os.path.join(self.deltas_path, name)
+
+    def publish_delta(self, name: str) -> None:
+        """Atomically promote a staged delta. Idempotent: a no-op when
+        the delta is already published (crash-after-rename replay)."""
+        if os.path.isdir(self.delta_path(name)):
+            shutil.rmtree(self.delta_stage_path(name), ignore_errors=True)
+            return
+        os.rename(self.delta_stage_path(name), self.delta_path(name))
+
+    def clean_stale_stages(self) -> None:
+        if not os.path.isdir(self.deltas_path):
+            return
+        for d in os.listdir(self.deltas_path):
+            if d.startswith(".tmp_"):
+                shutil.rmtree(os.path.join(self.deltas_path, d),
+                              ignore_errors=True)
+
+    # ---- visibility: which directories a reader scans ----
+    def _posting_sources(self, stats: dict) -> tuple[list[str], list[str]]:
+        """(normal_prefixes, override_prefixes): normal rows must drop
+        overridden chunk_ids; override rows replace those chunks."""
+        normal = [self.postings_path]
+        for name in stats.get("deltas", []):
+            normal.append(os.path.join(self.delta_path(name), "postings"))
+        override = [
+            os.path.join(self.delta_path(name), "postings")
+            for name in set(stats.get("chunk_overrides", {}).values())
+        ]
+        return normal, override
+
+    def _norms_sources(self, stats: dict) -> tuple[list[str], list[str]]:
+        normal = [self.norms_path]
+        for name in stats.get("deltas", []):
+            normal.append(os.path.join(self.delta_path(name), "norms"))
+        override = [
+            os.path.join(self.delta_path(name), "norms")
+            for name in set(stats.get("chunk_overrides", {}).values())
+        ]
+        return normal, override
+
+    @staticmethod
+    def _overridden_chunks(stats: dict) -> list[int]:
+        return sorted(int(c) for c in stats.get("chunk_overrides", {}))
+
     # ---- merged (query-side) tables ----
-    def read_postings(self, spark: SparkSession) -> DataFrame:
-        return (
-            spark.read.schema("term_bucket int, " + POSTINGS_SCHEMA.split(", ", 1)[1])
-            .option("basePath", self.postings_path)
-            .parquet(self.postings_path)
-        )
+    @staticmethod
+    def _leaf_bucket_dirs(prefixes: list[str]) -> list[str]:
+        """All term_bucket=* leaf dirs under the given prefixes — passed
+        directly to the reader so no partition discovery runs (leaf dirs
+        hold only data files)."""
+        out = []
+        for p in prefixes:
+            if not os.path.isdir(p):
+                continue
+            for d in sorted(os.listdir(p)):
+                fp = os.path.join(p, d)
+                if d.startswith("term_bucket=") and os.path.isdir(fp):
+                    out.append(fp)
+        return out
+
+    def read_postings(self, spark: SparkSession, stats: dict | None = None) -> DataFrame:
+        """Every visible posting row (all terms) — compaction/audit use."""
+        if stats is None:
+            stats, _ = self.read_stats()
+        normal, override = self._posting_sources(stats)
+        n_paths = self._leaf_bucket_dirs(normal)
+        df = spark.read.schema(QUERY_POSTINGS_SCHEMA).parquet(*n_paths)
+        dead = self._overridden_chunks(stats)
+        if dead:
+            df = df.filter(~F.col("chunk_id").isin(dead))
+            ov = self._leaf_bucket_dirs(override)
+            if ov:
+                df = df.unionByName(
+                    spark.read.schema(QUERY_POSTINGS_SCHEMA).parquet(*ov)
+                )
+        return df
 
     def read_postings_for_terms(
-        self, spark: SparkSession, terms: list[str], config: EngineConfig
+        self,
+        spark: SparkSession,
+        terms: list[str],
+        config: EngineConfig,
+        stats: dict | None = None,
     ) -> DataFrame:
         """Partition-pruned read: only the term_bucket directories that
-        can contain the query terms are listed/scanned, and the term
-        equality filter is pushed to parquet row groups (files are
-        sorted by term within each bucket)."""
+        can contain the query terms are listed/scanned (across the base
+        index and every visible delta), and the term equality filter is
+        pushed to parquet row groups (files are sorted by term within
+        each bucket)."""
+        if stats is None:
+            stats, _ = self.read_stats()
         buckets = sorted({term_bucket_py(t, config.term_buckets) for t in terms})
-        paths = [
-            os.path.join(self.postings_path, f"term_bucket={b}") for b in buckets
-        ]
-        paths = [p for p in paths if os.path.exists(p)]
-        if not paths:
-            return spark.createDataFrame([], POSTINGS_SCHEMA)
-        df = (
-            spark.read.schema(POSTINGS_SCHEMA)
-            .option("basePath", self.postings_path)
-            .parquet(*paths)
-        )
+        normal, override = self._posting_sources(stats)
+        n_paths = [d for p in normal for d in _bucket_dirs(p, buckets)]
+        o_paths = [d for p in override for d in _bucket_dirs(p, buckets)]
+        if not n_paths and not o_paths:
+            return spark.createDataFrame([], QUERY_POSTINGS_SCHEMA)
+        dead = self._overridden_chunks(stats)
+        parts = []
+        if n_paths:
+            df = spark.read.schema(QUERY_POSTINGS_SCHEMA).parquet(*n_paths)
+            if dead:
+                df = df.filter(~F.col("chunk_id").isin(dead))
+            parts.append(df)
+        if o_paths:
+            parts.append(
+                spark.read.schema(QUERY_POSTINGS_SCHEMA).parquet(*o_paths)
+            )
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
         return df.filter(F.col("term").isin(terms))
 
-    def read_norms(self, spark: SparkSession) -> DataFrame:
+    def read_norms(self, spark: SparkSession, stats: dict | None = None) -> DataFrame:
         if self._norms_cache is not None:
             return self._norms_cache
-        return spark.read.schema(CHUNK_NORMS_SCHEMA).parquet(self.norms_path)
+        if stats is None:
+            stats, _ = self.read_stats()
+        normal, override = self._norms_sources(stats)
+        normal = [p for p in normal if os.path.isdir(p)]
+        df = spark.read.schema(CHUNK_NORMS_SCHEMA).parquet(*normal)
+        dead = self._overridden_chunks(stats)
+        if dead:
+            df = df.filter(~F.col("chunk_id").isin(dead))
+            ov = [p for p in override if os.path.isdir(p)]
+            if ov:
+                df = df.unionByName(
+                    spark.read.schema(CHUNK_NORMS_SCHEMA).parquet(*ov)
+                )
+        return df
 
-    def read_dictionary(self, spark: SparkSession) -> DataFrame:
-        return spark.read.schema("term string, df long").parquet(self.dictionary_path)
+    # ---- dictionary: immutable bucketed versions ----
+    def _dict_versions(self) -> list[tuple[int, str]]:
+        """Committed versions (seq, path), ascending. A version counts
+        only once its _covers.json marker exists (written after the
+        Spark job commits), so half-written versions are invisible."""
+        if not os.path.isdir(self.dictionary_root):
+            return []
+        out = []
+        for d in sorted(os.listdir(self.dictionary_root)):
+            if not d.startswith("v"):
+                continue
+            p = os.path.join(self.dictionary_root, d)
+            if os.path.exists(os.path.join(p, "_covers.json")):
+                out.append((int(d[1:]), p))
+        return out
+
+    def current_dictionary_path(self) -> str | None:
+        vs = self._dict_versions()
+        return vs[-1][1] if vs else None
+
+    def _resolve_dict_path(self, stats: dict | None) -> str | None:
+        """The dictionary version THIS SNAPSHOT references (stats is the
+        pointer); falls back to the newest committed version for stores
+        mid-initial-build."""
+        if stats is not None and "dict_version" in stats:
+            p = os.path.join(
+                self.dictionary_root, f"v{int(stats['dict_version']):06d}"
+            )
+            if os.path.exists(os.path.join(p, "_covers.json")):
+                return p
+        return self.current_dictionary_path()
+
+    def find_dictionary_version(self, covers: str) -> int | None:
+        for seq, p in self._dict_versions():
+            with open(os.path.join(p, "_covers.json")) as f:
+                if json.load(f)["covers"] == covers:
+                    return seq
+        return None
+
+    def write_dictionary(
+        self, dictionary: DataFrame, config: EngineConfig, covers: str
+    ) -> int:
+        """Write the next dictionary version: partitioned by term_bucket
+        (the SAME pruning as postings — no single-partition write),
+        term-sorted within files for row-group min/max skipping.
+        Idempotent per `covers` tag: if some committed version already
+        covers this merge step, it is reused (crash recovery never
+        double-folds a delta)."""
+        existing = self.find_dictionary_version(covers)
+        if existing is not None:
+            return existing
+        vs = self._dict_versions()
+        seq = vs[-1][0] + 1 if vs else 0
+        path = os.path.join(self.dictionary_root, f"v{seq:06d}")
+        shutil.rmtree(path, ignore_errors=True)  # uncommitted leftover
+        (
+            dictionary.withColumn(
+                "term_bucket", term_bucket_col(F.col("term"), config.term_buckets)
+            )
+            .repartition("term_bucket")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .partitionBy("term_bucket")
+            .parquet(path)
+        )
+        marker = os.path.join(path, "_covers.json")
+        with open(marker + ".tmp", "w") as f:
+            json.dump({"covers": covers}, f)
+        os.replace(marker + ".tmp", marker)
+        return seq
+
+    def gc_dictionaries(self, keep_seq: int | None = None) -> None:
+        """Drop every dictionary version except the referenced one. A
+        real deployment keeps a few for snapshot readers; locally one
+        suffices."""
+        if keep_seq is None:
+            vs = self._dict_versions()
+            keep_seq = vs[-1][0] if vs else -1
+        if not os.path.isdir(self.dictionary_root):
+            return
+        for d in os.listdir(self.dictionary_root):
+            if d.startswith("v") and d != f"v{keep_seq:06d}":
+                shutil.rmtree(
+                    os.path.join(self.dictionary_root, d), ignore_errors=True
+                )
+
+    def read_dictionary(
+        self, spark: SparkSession, stats: dict | None = None
+    ) -> DataFrame:
+        p = self._resolve_dict_path(stats)
+        if p is None:
+            return spark.createDataFrame([], DICTIONARY_SCHEMA)
+        return (
+            spark.read.schema("term_bucket int, " + DICTIONARY_SCHEMA)
+            .option("basePath", p)
+            .parquet(p)
+            .select("term", "df")
+        )
+
+    # ---- tombstones (deletes) ----
+    def tombstone_path(self, name: str) -> str:
+        return os.path.join(self.tombstones_path, name)
+
+    def read_tombstones(self, spark: SparkSession, stats: dict | None = None) -> DataFrame | None:
+        """Visible deleted doc_ids (doc_id long), or None when empty."""
+        if stats is None:
+            stats, _ = self.read_stats()
+        paths = [
+            self.tombstone_path(n)
+            for n in stats.get("tombstone_batches", [])
+        ]
+        paths = [p for p in paths if os.path.isdir(p)]
+        if not paths:
+            return None
+        return spark.read.schema("doc_id long").parquet(*paths).distinct()
 
     # ---- warm query path ----
     # Reference analog: the reader's lazily-mmapped per-segment state +
@@ -200,48 +511,108 @@ class IndexStore:
     # QuantizationStateCache.java). For repeated queries against one
     # store, cache the chunk norms (small: one row per chunk) in
     # executor memory and the term dictionary driver-side; cold queries
-    # work identically without warming.
+    # work identically without warming. EVERY driver-side cache is
+    # size-gated from parquet FOOTER metadata — nothing corpus-sized is
+    # ever read to decide whether it would fit (10^12-turn safety).
     _norms_cache: DataFrame | None = None
     _dict_cache: dict | None = None
     _driver_norms: dict | None = None
+    _driver_tombstones = None  # np.ndarray | None
+
+    def _parquet_files(self, prefixes: list[str]) -> list[str]:
+        out = []
+        for p in prefixes:
+            if not os.path.isdir(p):
+                continue
+            for base, _, files in os.walk(p):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        out.append(os.path.join(base, f))
+        return sorted(out)
+
+    @staticmethod
+    def _column_bytes(files: list[str], column: str) -> int:
+        """Total UNCOMPRESSED bytes of one column across parquet files,
+        from footer metadata only (no data pages read)."""
+        import pyarrow.parquet as pq
+
+        total = 0
+        for fp in files:
+            md = pq.ParquetFile(fp).metadata
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    if col.path_in_schema == column:
+                        total += col.total_uncompressed_size
+        return total
 
     def warm(
-        self, spark: SparkSession, driver_norms_limit: int = 256 << 20
+        self,
+        spark: SparkSession,
+        driver_norms_limit: int = 256 << 20,
+        driver_dict_limit: int = 64 << 20,
     ) -> "IndexStore":
+        stats, _ = self.read_stats()
         if self._norms_cache is None:
-            self._norms_cache = (
-                spark.read.schema(CHUNK_NORMS_SCHEMA)
-                .parquet(self.norms_path)
-                .persist()
-            )
+            self._norms_cache = self.read_norms(spark, stats).persist()
             self._norms_cache.count()
         if self._dict_cache is None:
-            self._dict_cache = {
-                r["term"]: r["df"]
-                for r in self.read_dictionary(spark).collect()
-            }
+            # gate by on-disk footprint BEFORE collecting: at 10^12
+            # turns the vocabulary is driver-hostile; term_dfs_for then
+            # falls back to per-query pruned bucket reads
+            dp = self._resolve_dict_path(stats)
+            files = self._parquet_files([dp]) if dp else []
+            disk = sum(os.path.getsize(f) for f in files)
+            if dp and disk <= driver_dict_limit:
+                self._dict_cache = {
+                    r["term"]: r["df"]
+                    for r in self.read_dictionary(spark, stats).collect()
+                }
         if self._driver_norms is None:
             # driver-side norms enable the no-Spark-job small-query
-            # path; only when the whole norms table is driver-sized
-            # (at 10^12 turns it is NOT — the distributed path remains)
-            import pyarrow.parquet as pq
-
-            t = pq.read_table(
-                self.norms_path,
-                columns=["chunk_id", "base_doc", "dl_bytes"],
-            )
-            total = sum(len(b) for b in t["dl_bytes"].to_pylist())
-            if total <= driver_norms_limit:
+            # path; the fit check reads FOOTERS ONLY (ADVICE: the old
+            # gate materialized the whole table before deciding)
+            normal, override = self._norms_sources(stats)
+            files = self._parquet_files(normal + override)
+            if files and self._column_bytes(files, "dl_bytes") <= driver_norms_limit:
                 import numpy as np
+                import pyarrow.parquet as pq
 
-                self._driver_norms = {
-                    int(c): (int(b), np.frombuffer(raw, dtype=np.int32))
-                    for c, b, raw in zip(
-                        t["chunk_id"].to_pylist(),
-                        t["base_doc"].to_pylist(),
-                        t["dl_bytes"].to_pylist(),
-                    )
-                }
+                dead = set(self._overridden_chunks(stats))
+                nfiles = self._parquet_files(normal)
+                dn: dict = {}
+                for group, fs in (("n", nfiles), ("o", [f for f in files if f not in set(nfiles)])):
+                    for fp in fs:
+                        t = pq.read_table(
+                            fp, columns=["chunk_id", "base_doc", "dl_bytes"]
+                        )
+                        for c, b, raw in zip(
+                            t["chunk_id"].to_pylist(),
+                            t["base_doc"].to_pylist(),
+                            t["dl_bytes"].to_pylist(),
+                        ):
+                            if group == "n" and int(c) in dead:
+                                continue
+                            dn[int(c)] = (int(b), np.frombuffer(raw, dtype=np.int32))
+                self._driver_norms = dn
+        if self._driver_tombstones is None:
+            tpaths = [
+                self.tombstone_path(n) for n in stats.get("tombstone_batches", [])
+            ]
+            files = self._parquet_files(tpaths)
+            if files:
+                import numpy as np
+                import pyarrow.parquet as pq
+
+                ids = np.concatenate(
+                    [
+                        pq.read_table(f, columns=["doc_id"])["doc_id"]
+                        .to_numpy(zero_copy_only=False)
+                        for f in files
+                    ]
+                )
+                self._driver_tombstones = np.unique(ids.astype(np.int64))
         return self
 
     def invalidate(self) -> None:
@@ -251,35 +622,72 @@ class IndexStore:
             self._norms_cache = None
         self._dict_cache = None
         self._driver_norms = None
+        self._driver_tombstones = None
 
-    def read_postings_arrow(self, terms: list[str], config: EngineConfig):
+    def read_postings_arrow(
+        self, terms: list[str], config: EngineConfig, stats: dict | None = None
+    ):
         """Driver-side pruned postings read (no Spark): only the
-        term_bucket directories of the query terms are opened, with the
-        term filter pushed to parquet row groups (files are term-sorted
-        so row-group min/max stats skip)."""
+        term_bucket directories of the query terms are opened — across
+        base + visible deltas — with the term filter pushed to parquet
+        row groups (files are term-sorted so row-group min/max stats
+        skip)."""
         import pyarrow.dataset as pads
 
+        if stats is None:
+            stats, _ = self.read_stats()
         buckets = sorted({term_bucket_py(t, config.term_buckets) for t in terms})
-        paths = [
-            os.path.join(self.postings_path, f"term_bucket={b}") for b in buckets
-        ]
-        files = [
-            os.path.join(p, f)
-            for p in paths
-            if os.path.isdir(p)
-            for f in sorted(os.listdir(p))
-            if f.endswith(".parquet")
-        ]
-        if not files:
-            return None
-        dset = pads.dataset(files, format="parquet")
-        return dset.to_table(
-            filter=pads.field("term").isin(terms)
+        normal, override = self._posting_sources(stats)
+        n_files = self._parquet_files(
+            [d for p in normal for d in _bucket_dirs(p, buckets)]
         )
+        o_files = self._parquet_files(
+            [d for p in override for d in _bucket_dirs(p, buckets)]
+        )
+        dead = set(self._overridden_chunks(stats))
+        tables = []
+        if n_files:
+            flt = pads.field("term").isin(terms)
+            if dead:
+                flt = flt & ~pads.field("chunk_id").isin(sorted(dead))
+            tables.append(
+                pads.dataset(n_files, format="parquet").to_table(filter=flt)
+            )
+        if o_files:
+            tables.append(
+                pads.dataset(o_files, format="parquet").to_table(
+                    filter=pads.field("term").isin(terms)
+                )
+            )
+        tables = [t for t in tables if t.num_rows]
+        if not tables:
+            return None
+        import pyarrow as pa
+
+        return pa.concat_tables(tables) if len(tables) > 1 else tables[0]
 
     def term_dfs_for(self, spark: SparkSession, terms: list[str]) -> dict:
+        """df per query term: warm driver cache when the vocabulary is
+        driver-sized, else a pruned driver-side pyarrow read of ONLY the
+        terms' bucket directories (a few row groups, never a Spark job —
+        mirrors read_postings_arrow)."""
         if self._dict_cache is not None:
             return {t: self._dict_cache[t] for t in terms if t in self._dict_cache}
+        stats, config = self.read_stats()
+        dp = self._resolve_dict_path(stats)
+        if dp is not None:
+            import pyarrow.dataset as pads
+
+            buckets = sorted(
+                {term_bucket_py(t, config.term_buckets) for t in terms}
+            )
+            files = self._parquet_files(_bucket_dirs(dp, buckets))
+            if not files:
+                return {}
+            t = pads.dataset(files, format="parquet").to_table(
+                filter=pads.field("term").isin(terms), columns=["term", "df"]
+            )
+            return dict(zip(t["term"].to_pylist(), t["df"].to_pylist()))
         rows = (
             self.read_dictionary(spark)
             .filter(F.col("term").isin(terms))

@@ -11,23 +11,37 @@ the analogous property structural and stronger:
     slots for absent ids hold dl=0 and no posting ever references them;
   * therefore the new batch's merged postings rows (keyed by chunk_id)
     and chunk-norms rows are DISJOINT from every existing row: the
-    merge is a pure parquet APPEND into the same term_bucket partition
-    layout. Nothing existing is rewritten — O(batch), not O(index);
-  * only the term dictionary (exact global df — BM25 needs exact df)
-    and corpus stats are refreshed, additively from the new wave's
-    partials (the reference's "refine codebooks, don't retrain" analog,
-    JVectorWriter.java:886-913). The dictionary rewrite is O(vocab),
-    not O(postings), and swaps in atomically via directory rename.
+    append publishes them as ONE immutable DELTA directory (the Lucene
+    "new segment" analog) that readers union with the base index.
+    Nothing existing is rewritten — O(batch), not O(index);
+  * the term dictionary (exact global df — BM25 needs exact df) is
+    refreshed by a DELTA MERGE: previous dictionary version UNION the
+    new waves' partials, summed, written as the next immutable
+    bucket-partitioned version — O(vocab + batch), never a rescan of
+    the build layer, never a single-partition write (the reference's
+    "refine codebooks, don't retrain" analog, JVectorWriter.java:886-913).
 
 At 100 TB this is the shape you want: appending a day of transcripts
 touches only that day's chunks + a vocab-sized dictionary job; query
 tasks fan out per (term_bucket, chunk) exactly as before.
 
-Idempotence / resume: the wave write is one atomic Spark commit; the
-merged-chunk watermark lives in stats.json ("n_chunks"). A crash
-between wave-write and merge leaves a wave whose chunk_id > watermark;
-``append_index`` re-merges exactly those waves (reference analog:
-restart-upgrade suite, qa/restart-upgrade/.../IndexingIT.java:46-358).
+Crash safety (single writer): the commit order is
+  1. build wave        — one atomic Spark write under build/wave=W/
+  2. delta publish     — stage postings+norms under deltas/.tmp_<name>,
+                         then ONE atomic directory rename
+  3. dictionary        — next immutable version, tagged with the delta
+                         name it covers (idempotent: recovery reuses a
+                         version whose tag matches instead of
+                         re-folding the delta — no double counting)
+  4. stats.json swap   — the SNAPSHOT POINTER: only now do readers see
+                         the delta, the new dictionary and the new
+                         watermark, all at once
+A crash between any two steps leaves published-but-unreferenced
+directories; ``append_index`` re-derives the same deterministic delta
+name from the orphan waves and re-runs exactly the missing steps.
+Because visibility is the stats swap, a half-finished append can never
+double-score a chunk (the pre-ADVICE design appended into the live
+postings dir, where a replay DID duplicate (term, chunk) rows).
 
 Structured Streaming: ``stream_append`` wires ``append_index`` into
 ``foreachBatch`` — micro-batch appends with Spark's own checkpointing
@@ -47,6 +61,7 @@ from ..config import EngineConfig
 from ..operators.docid import assign_doc_ids
 from ..operators.merge import _merge_iter_factory, _merge_norms_kernel
 from ..sources.index_store import (
+    CHUNK_NORMS_SCHEMA,
     POSTINGS_SCHEMA,
     IndexStore,
     term_bucket_col,
@@ -65,18 +80,43 @@ def _existing_waves(store: IndexStore) -> int:
     return len([d for d in os.listdir(store.build_path) if d.startswith("wave=")])
 
 
-def _merge_new_chunks(
+def _delta_name(min_chunk: int, max_chunk: int) -> str:
+    return f"delta_c{min_chunk}_{max_chunk}"
+
+
+def _new_chunk_segs(
+    spark,
+    store: IndexStore,
+    config: EngineConfig,
+    min_chunk: int,
+    waves: list[int],
+):
+    """Build postings of the appended chunks — scans ONLY the given wave
+    directories (O(batch) input, never the whole build layer)."""
+    spc = config.segments_per_chunk
+    return store.read_build_postings(spark, waves).filter(
+        (F.col("seg_group") / spc).cast("long") >= min_chunk
+    )
+
+
+def _publish_delta(
     spark: SparkSession,
     store: IndexStore,
     config: EngineConfig,
     min_chunk: int,
+    name: str,
+    waves: list[int],
 ) -> None:
-    """Append-merge every build segment in chunk >= min_chunk (disjoint
-    from all merged data by construction)."""
+    """Merge every build segment in chunk >= min_chunk (disjoint from
+    all merged data by construction) into ONE atomically-published
+    delta directory. Idempotent: an already-published delta is reused."""
+    if os.path.isdir(store.delta_path(name)):
+        return
     spc = config.segments_per_chunk
-    segs = store.read_build_postings(spark).filter(
-        (F.col("seg_group") / spc).cast("long") >= min_chunk
-    )
+    stage = store.delta_stage_path(name)
+    shutil.rmtree(stage, ignore_errors=True)
+
+    segs = _new_chunk_segs(spark, store, config, min_chunk, waves)
     pre = (
         segs.withColumn("chunk_id", (F.col("seg_group") / spc).cast("long"))
         .withColumn(
@@ -93,41 +133,51 @@ def _merge_new_chunks(
         .mapInPandas(_merge_iter_factory(config), schema=POSTINGS_SCHEMA)
     )
     (
-        merged.write.mode("append")
+        merged.write.mode("overwrite")
         .partitionBy("term_bucket")
-        .parquet(store.postings_path)
+        .parquet(os.path.join(stage, "postings"))
     )
 
-    norms = store.read_build_norms(spark).filter(
+    norms = store.read_build_norms(spark, waves).filter(
         (F.col("seg_group") / spc).cast("long") >= min_chunk
     )
     (
         norms.withColumn("chunk_id", (F.col("seg_group") / spc).cast("long"))
         .groupBy("chunk_id")
-        .applyInPandas(
-            _merge_norms_kernel(config),
-            schema="chunk_id long, base_doc long, n_slots int, dl_bytes binary",
-        )
-        .write.mode("append")
-        .parquet(store.norms_path)
+        .applyInPandas(_merge_norms_kernel(config), schema=CHUNK_NORMS_SCHEMA)
+        .write.mode("overwrite")
+        .parquet(os.path.join(stage, "norms"))
     )
+    store.publish_delta(name)
 
-    # dictionary: full exact rebuild from ALL build partials — O(vocab),
-    # atomic swap so concurrent readers never see a half state
-    dictionary = (
-        store.read_build_postings(spark)
+
+def _merge_dictionary(
+    spark: SparkSession,
+    store: IndexStore,
+    stats: dict,
+    config: EngineConfig,
+    min_chunk: int,
+    covers: str,
+    waves: list[int],
+) -> int:
+    """Delta dictionary merge: previous referenced version UNION the new
+    waves' partials, summed by term — input is O(vocab + batch), NOT the
+    whole build layer (the round-1 implementation re-aggregated every
+    wave ever built on each append). Returns the new version seq."""
+    existing = store.find_dictionary_version(covers)
+    if existing is not None:
+        return existing
+    delta = (
+        _new_chunk_segs(spark, store, config, min_chunk, waves)
         .groupBy("term")
         .agg(F.sum("df").alias("df"))
+        .select("term", F.col("df").cast("long").alias("df"))
     )
-    tmp = store.dictionary_path + ".tmp"
-    dictionary.repartition(1).sortWithinPartitions("term").write.mode(
-        "overwrite"
-    ).parquet(tmp)
-    old = store.dictionary_path + ".old"
-    if os.path.exists(store.dictionary_path):
-        os.rename(store.dictionary_path, old)
-    os.rename(tmp, store.dictionary_path)
-    shutil.rmtree(old, ignore_errors=True)
+    old = store.read_dictionary(spark, stats)
+    merged = (
+        old.unionByName(delta).groupBy("term").agg(F.sum("df").alias("df"))
+    )
+    return store.write_dictionary(merged, config, covers)
 
 
 def _apply_merged_stats(
@@ -136,10 +186,14 @@ def _apply_merged_stats(
     stats: dict,
     config: EngineConfig,
     lineages: set[str],
+    delta: str,
+    dict_seq: int,
 ) -> dict:
     """Fold the manifest partials of freshly-merged waves into the
-    corpus stats (additive — the reference's refine-not-retrain analog)
-    and mark their batch tags applied."""
+    corpus stats (additive — the reference's refine-not-retrain analog),
+    link the delta + dictionary version into the snapshot, and mark the
+    batch tags applied. THE stats swap at the end is the single commit
+    point readers observe."""
     man = store.read_manifest(spark).filter(F.col("lineage").isin(list(lineages)))
     agg = man.agg(
         F.sum("n_docs").alias("n_docs"),
@@ -163,8 +217,16 @@ def _apply_merged_stats(
         int(stats.get("n_chunks", 0)),
         int(agg["max_seg"]) // config.segments_per_chunk + 1,
     )
+    stats["dict_version"] = int(dict_seq)
+    if delta not in stats.get("deltas", []):
+        stats.setdefault("deltas", []).append(delta)
     dict_agg = (
-        spark.read.parquet(store.dictionary_path)
+        spark.read.schema("term_bucket int, term string, df long")
+        .option(
+            "basePath",
+            os.path.join(store.dictionary_root, f"v{dict_seq:06d}"),
+        )
+        .parquet(os.path.join(store.dictionary_root, f"v{dict_seq:06d}"))
         .agg(
             F.max("df").alias("max_df"),
             F.avg("df").alias("mean_df"),
@@ -183,7 +245,54 @@ def _apply_merged_stats(
     applied.update(lin.split("/wave=")[0] for lin in lineages)
     stats["applied_batches"] = sorted(applied)
     store.write_stats(stats, config)
+    store.gc_dictionaries(int(dict_seq))
     return stats
+
+
+def _orphan_lineages(spark, store: IndexStore, config: EngineConfig, watermark: int):
+    """(lineages, max_chunk, wave_ids) of built-but-unreferenced waves.
+    The manifest scan is cheap (tiny rows); the heavy posting/norm reads
+    that follow are pruned to exactly these wave directories."""
+    man = store.read_manifest(spark)
+    if man is None:
+        return set(), None, []
+    spc = config.segments_per_chunk
+    rows = (
+        man.filter((F.col("seg_group") / spc).cast("long") >= watermark)
+        .groupBy("lineage")
+        .agg(F.max("seg_group").alias("max_seg"))
+        .collect()
+    )
+    if not rows:
+        return set(), None, []
+    max_chunk = max(int(r["max_seg"]) for r in rows) // spc
+    lineages = {r["lineage"] for r in rows}
+    waves = sorted(
+        int(lin.rsplit("/wave=", 1)[1])
+        for lin in lineages
+        if "/wave=" in lin
+    )
+    return lineages, max_chunk, waves
+
+
+def _merge_and_commit(
+    spark: SparkSession,
+    store: IndexStore,
+    stats: dict,
+    config: EngineConfig,
+    watermark: int,
+    max_chunk: int,
+    lineages: set[str],
+    waves: list[int],
+) -> dict:
+    name = _delta_name(watermark, max_chunk)
+    _publish_delta(spark, store, config, watermark, name, waves)
+    dict_seq = _merge_dictionary(
+        spark, store, stats, config, watermark, covers=name, waves=waves
+    )
+    return _apply_merged_stats(
+        spark, store, stats, config, lineages, name, dict_seq
+    )
 
 
 def append_index(
@@ -201,37 +310,32 @@ def append_index(
     also how the reference orders concurrently-flushed segments).
 
     Idempotent per batch_tag (single writer): a replayed batch whose
-    tag is already in the applied ledger is a no-op; a crash between
-    the wave write and the merge leaves orphan waves that are merged
-    and credited on the next call before anything new is built.
+    tag is already in the applied ledger is a no-op; a crash anywhere
+    in the commit sequence (see module docstring) leaves orphan
+    waves/deltas/dictionary versions that the next call re-links
+    without re-merging or double-counting.
     """
     from ..operators.segment_build import build_segments_df
 
     ensure_chunk_watermark(spark, store)
+    store.clean_stale_stages()
     stats, config = store.read_stats()
     applied = set(stats.get("applied_batches", []))
     if batch_tag in applied:
         return stats
 
     watermark = int(stats.get("n_chunks", 0))
-    spc = config.segments_per_chunk
 
-    # orphan recovery: built-but-unmerged waves from a crashed append
-    man = store.read_manifest(spark)
-    orphans: set[str] = set()
-    if man is not None:
-        orphans = {
-            r["lineage"]
-            for r in man.filter(
-                (F.col("seg_group") / spc).cast("long") >= watermark
-            )
-            .select("lineage")
-            .distinct()
-            .collect()
-        }
+    # orphan recovery: built-but-unreferenced waves from a crashed append
+    orphans, orphan_max_chunk, orphan_waves = _orphan_lineages(
+        spark, store, config, watermark
+    )
     if orphans:
-        _merge_new_chunks(spark, store, config, min_chunk=watermark)
-        stats = _apply_merged_stats(spark, store, stats, config, orphans)
+        stats = _merge_and_commit(
+            spark, store, stats, config, watermark, orphan_max_chunk,
+            orphans, orphan_waves,
+        )
+        store.invalidate()
         if batch_tag in set(stats.get("applied_batches", [])):
             return stats  # the crashed batch WAS this batch
         watermark = int(stats["n_chunks"])
@@ -247,9 +351,12 @@ def append_index(
     lineage = f"{batch_tag}/wave={wave}"
     out = build_segments_df(docs, config, lineage=lineage)
     store.write_build_wave(out, wave=wave)
-    _merge_new_chunks(spark, store, config, min_chunk=watermark)
+    _, max_chunk, _ = _orphan_lineages(spark, store, config, watermark)
+    stats = _merge_and_commit(
+        spark, store, stats, config, watermark, max_chunk, {lineage}, [wave]
+    )
     store.invalidate()  # warm query caches are stale after an append
-    return _apply_merged_stats(spark, store, stats, config, {lineage})
+    return stats
 
 
 def ensure_chunk_watermark(spark: SparkSession, store: IndexStore) -> None:
@@ -281,7 +388,7 @@ def stream_append(
     """Attach an incremental index-append sink to a streaming DataFrame
     of transcript turns. Each micro-batch runs ``append_index`` — the
     Structured Streaming checkpoint gives exactly-once batch replay on
-    top of our idempotent chunk-aligned merge.
+    top of our idempotent delta-publish commit sequence.
     """
     ensure_chunk_watermark(spark, store)
 

@@ -80,6 +80,74 @@ def test_simhash_identical_and_near(docs):
     assert pairs.get((0, 1)) == 0
 
 
+def test_simhash_banding_is_exact(docs, spark):
+    """h+1-band blocking vs brute force over all pairs: identical sets
+    (pigeonhole guarantees no pair within max_hamming is missed — the
+    property the round-1 top-half blocking violated)."""
+    from opensearch_jvector_spark.operators.dedup import dedup_simhash, simhash
+
+    for h in (3, 8):
+        banded = {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in dedup_simhash(docs, max_hamming=h).collect()
+        }
+        sh = simhash(docs)
+        a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+        b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+        brute = {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in a.crossJoin(b)
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+            .filter(F.col("hamming") <= h)
+            .select("doc_a", "doc_b", "hamming")
+            .collect()
+        }
+        assert banded == brute
+
+
+def test_embedding_lsh_matches_exact_and_avoids_crossjoin(spark):
+    from opensearch_jvector_spark.operators.dedup import dedup_embedding_cosine
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    lsh_df = dedup_embedding_cosine(embs, threshold=0.4, method="lsh")
+    exact = {
+        tuple(r)
+        for r in dedup_embedding_cosine(
+            embs, threshold=0.4, method="exact"
+        ).collect()
+    }
+    got = {tuple(r) for r in lsh_df.collect()}
+    assert got == exact and len(exact) > 0
+    # the 100 TB property: candidate generation is an equi-join on
+    # (band, band_key) — no all-pairs cartesian product in the plan
+    plan = lsh_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_bucket_cap_drops_flood(spark):
+    """A flood of identical embeddings lands in one bucket; the cap
+    removes that bucket's candidates while distinct pairs survive."""
+    from opensearch_jvector_spark.operators.dedup import dedup_embedding_cosine
+
+    flood = [(i, [1.0] * 8) for i in range(20)]
+    rows = flood + [(100, [0.0] * 7 + [1.0]), (101, [0.0] * 7 + [1.0])]
+    embs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    capped = dedup_embedding_cosine(
+        embs, threshold=0.99, method="lsh", dim=8, max_bucket_size=5
+    ).collect()
+    # the flood bucket (20 identical docs, every band) is dropped; the
+    # small pair's buckets (size 2) survive
+    assert {(r.vec_a, r.vec_b) for r in capped} == {(100, 101)}
+    uncapped = dedup_embedding_cosine(
+        embs, threshold=0.99, method="lsh", dim=8
+    ).collect()
+    assert any(r.vec_a in range(20) for r in uncapped)
+
+
 def test_fingerprint_order_sensitive(docs):
     from opensearch_jvector_spark.operators.textstats import doc_fingerprint
 

@@ -111,6 +111,142 @@ def test_append_is_idempotent_per_batch_tag(spark, tmp_path):
     assert "replay-me" in s2["applied_batches"]
 
 
+def _no_duplicate_posting_rows(spark, store):
+    """(term, chunk_id, slice) must be unique across the visible index —
+    the invariant a replayed half-committed append used to break."""
+    dup = (
+        store.read_postings(spark)
+        .groupBy("term", "chunk_id", "slice")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0
+
+
+def _expected_after_append(spark, base, add_raw, n_base_docs):
+    n_chunks = -(-n_base_docs // CFG.docs_per_chunk)
+    add = assign_doc_ids(add_raw).select(
+        (F.col("doc_id") + n_chunks * CFG.docs_per_chunk).alias("doc_id"),
+        "text",
+    )
+    return base.unionByName(add)
+
+
+def test_crash_between_wave_and_delta_publish(spark, tmp_path):
+    """Crash window 1: the build wave committed but no delta/dictionary/
+    stats. The replay must recover the orphan wave, not rebuild it, and
+    produce exactly one copy of every (term, chunk) row."""
+    from opensearch_jvector_spark.sources.index_store import IndexStore
+    from opensearch_jvector_spark.streaming import incremental as inc
+
+    root = str(tmp_path / "idx")
+    base = assign_doc_ids(_batch(spark, 20, seed=1)).select("doc_id", "text")
+    build_index(spark, base, root, CFG)
+    store = IndexStore(root)
+    add_raw = _batch(spark, 6, seed=7)
+
+    # front half of append_index only: wave write, then "crash"
+    stats, config = store.read_stats()
+    watermark = int(stats["n_chunks"])
+    docs = assign_doc_ids(add_raw).select(
+        (F.col("doc_id") + watermark * CFG.docs_per_chunk).alias("doc_id"),
+        "text",
+    )
+    wave = inc._existing_waves(store)
+    out = __import__(
+        "opensearch_jvector_spark.operators.segment_build",
+        fromlist=["build_segments_df"],
+    ).build_segments_df(docs, config, lineage=f"crashy/wave={wave}")
+    store.write_build_wave(out, wave=wave)
+
+    # replay with the SAME tag -> recovery commits the orphan and stops
+    s = append_index(spark, store, add_raw, batch_tag="crashy")
+    assert s["n_docs"] == (20 + 6) * 5
+    assert "crashy" in s["applied_batches"]
+    _no_duplicate_posting_rows(spark, store)
+    _check_vs_bruteforce(
+        spark, store, _expected_after_append(spark, base, add_raw, 20 * 5)
+    )
+
+
+def test_crash_between_delta_publish_and_stats(spark, tmp_path):
+    """Crash window 2 (the ADVICE finding): delta published and
+    dictionary written, but stats.json never swapped. The pre-delta
+    design re-appended the merged rows into the live dir on replay,
+    double-scoring those chunks; the snapshot design re-links the SAME
+    delta idempotently."""
+    from opensearch_jvector_spark.sources.index_store import IndexStore
+    from opensearch_jvector_spark.streaming import incremental as inc
+
+    root = str(tmp_path / "idx")
+    base = assign_doc_ids(_batch(spark, 20, seed=1)).select("doc_id", "text")
+    build_index(spark, base, root, CFG)
+    store = IndexStore(root)
+    add_raw = _batch(spark, 6, seed=9)
+
+    stats, config = store.read_stats()
+    watermark = int(stats["n_chunks"])
+    docs = assign_doc_ids(add_raw).select(
+        (F.col("doc_id") + watermark * CFG.docs_per_chunk).alias("doc_id"),
+        "text",
+    )
+    wave = inc._existing_waves(store)
+    from opensearch_jvector_spark.operators.segment_build import (
+        build_segments_df,
+    )
+
+    out = build_segments_df(docs, config, lineage=f"crashy2/wave={wave}")
+    store.write_build_wave(out, wave=wave)
+    _, max_chunk, waves = inc._orphan_lineages(spark, store, config, watermark)
+    name = inc._delta_name(watermark, max_chunk)
+    inc._publish_delta(spark, store, config, watermark, name, waves)
+    inc._merge_dictionary(
+        spark, store, stats, config, watermark, covers=name, waves=waves
+    )
+    pre_crash_seq = store._dict_versions()[-1][0]
+    # "crash" here: stats.json still references the pre-append snapshot
+
+    s = append_index(spark, store, add_raw, batch_tag="crashy2")
+    assert s["n_docs"] == (20 + 6) * 5
+    # recovery reused the published delta + dictionary version verbatim
+    # (no new version was computed — the covers tag matched)
+    assert store._dict_versions()[-1][0] == pre_crash_seq
+    assert s["dict_version"] == pre_crash_seq
+    assert s["deltas"].count(name) == 1
+    _no_duplicate_posting_rows(spark, store)
+    _check_vs_bruteforce(
+        spark, store, _expected_after_append(spark, base, add_raw, 20 * 5)
+    )
+
+
+def test_append_reads_only_new_waves(spark, tmp_path):
+    """The append's merge + dictionary jobs must not read historical
+    build postings: physically remove every pre-append wave's postings
+    and norms files — only manifests stay — and append anyway."""
+    import shutil
+
+    from opensearch_jvector_spark.sources.index_store import IndexStore
+
+    root = str(tmp_path / "idx")
+    base = assign_doc_ids(_batch(spark, 20, seed=1)).select("doc_id", "text")
+    build_index(spark, base, root, CFG)
+    store = IndexStore(root)
+    for d in os.listdir(store.build_path):
+        if d.startswith("wave="):
+            for kind in ("kind=postings", "kind=norms"):
+                shutil.rmtree(
+                    os.path.join(store.build_path, d, kind), ignore_errors=True
+                )
+
+    add_raw = _batch(spark, 6, seed=13)
+    s = append_index(spark, store, add_raw, batch_tag="pruned")
+    assert s["n_docs"] == (20 + 6) * 5
+    _check_vs_bruteforce(
+        spark, store, _expected_after_append(spark, base, add_raw, 20 * 5)
+    )
+
+
 def test_stream_append_foreachbatch(spark, tmp_path):
     """Structured Streaming file source -> foreachBatch incremental
     appends; final index answers match brute force over everything."""
