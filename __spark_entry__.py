@@ -39,6 +39,19 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
 
+def _ensure_store(root: str):
+    """IndexStore at root, wiped when absent or from an older store
+    format (cross-round /tmp caches must never leak stale layouts)."""
+    import shutil
+
+    from opensearch_jvector_spark.sources.index_store import IndexStore
+
+    store = IndexStore(root)
+    if os.path.exists(store.stats_path) and not store.format_ok():
+        shutil.rmtree(root, ignore_errors=True)
+    return store, not os.path.exists(store.stats_path)
+
+
 def _index_for(spark: SparkSession, sf_dir: str):
     """Build (once per sf_dir per process) the documents index."""
     from opensearch_jvector_spark.operators.segment_build import build_index
@@ -48,10 +61,8 @@ def _index_for(spark: SparkSession, sf_dir: str):
         root = os.path.join(
             "/tmp/ojs_index", key.strip("/").replace("/", "_")
         )
-        from opensearch_jvector_spark.sources.index_store import IndexStore
-
-        store = IndexStore(root)
-        if not os.path.exists(store.stats_path):
+        store, needs_build = _ensure_store(root)
+        if needs_build:
             build_index(
                 spark, _docs(spark, sf_dir).select("doc_id", "text"), root,
                 ENTRY_CONFIG,
@@ -93,6 +104,43 @@ def _q_topk_filtered(terms: list[str], k: int, lang: str) -> Callable:
         return _round_topk(
             bm25_topk(spark, _index_for(spark, sf_dir), terms, k, allowed)
         )
+
+    return f
+
+
+def _q_topk_after_delete(terms: list[str], k: int, modulus: int) -> Callable:
+    """Tombstone-masked search (M5 delete path): docs with
+    doc_id % modulus == 0 are deleted, queries exclude them while
+    corpus stats keep counting them (Lucene deleted-docs semantics —
+    the oracle filters results but scores over the full corpus)."""
+
+    def f(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from opensearch_jvector_spark.operators.delete import delete_docs
+        from opensearch_jvector_spark.operators.segment_build import build_index
+        from opensearch_jvector_spark.operators.wand import bm25_topk
+
+        key = "del::" + os.path.abspath(sf_dir)
+        if key not in _STORES:
+            root = os.path.join(
+                "/tmp/ojs_index_del",
+                os.path.abspath(sf_dir).strip("/").replace("/", "_"),
+            )
+            store, needs_build = _ensure_store(root)
+            if needs_build:
+                build_index(
+                    spark, _docs(spark, sf_dir).select("doc_id", "text"),
+                    root, ENTRY_CONFIG,
+                )
+            stats, _ = store.read_stats()
+            if not stats.get("tombstone_batches"):
+                ids = (
+                    _docs(spark, sf_dir)
+                    .filter(F.col("doc_id") % modulus == 0)
+                    .select("doc_id")
+                )
+                delete_docs(spark, store, ids, batch_tag="entry-del")
+            _STORES[key] = store.warm(spark)
+        return _round_topk(bm25_topk(spark, _STORES[key], terms, k))
 
     return f
 
@@ -299,8 +347,8 @@ def _q_topk_ranged(terms: list[str], k: int) -> Callable:
                 "/tmp/ojs_index_ranged",
                 os.path.abspath(sf_dir).strip("/").replace("/", "_"),
             )
-            store = IndexStore(root)
-            if not os.path.exists(store.stats_path):
+            store, needs_build = _ensure_store(root)
+            if needs_build:
                 build_index(
                     spark, _docs(spark, sf_dir).select("doc_id", "text"),
                     root, ENTRY_CONFIG, layout="ranged",
@@ -363,9 +411,9 @@ def _q_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             "/tmp/ojs_index_append",
             os.path.abspath(sf_dir).strip("/").replace("/", "_"),
         )
-        store = IndexStore(root)
+        store, needs_build = _ensure_store(root)
         docs = _docs(spark, sf_dir)
-        if not os.path.exists(store.stats_path):
+        if needs_build:
             build_index(
                 spark,
                 docs.filter(F.col("doc_id") < _APPEND_SPLIT)
@@ -396,6 +444,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_multi": _q_topk(["merge", "join", "stream"], 10),
         "bm25_topk_hot_term": _q_topk(["the"], 20),
         "bm25_topk_filtered": _q_topk_filtered(["spark", "merge"], 10, "en"),
+        "bm25_topk_filtered_hot": _q_topk_filtered(["the", "data"], 20, "en"),
+        "bm25_topk_after_delete": _q_topk_after_delete(["spark", "merge"], 10, 7),
         "bm25_radial": _q_radial(["spark", "merge"], 0.4),
         "bm25_bruteforce": _q_bruteforce(["batch", "window"], 10),
         "bm25_diversified": _q_diversified(["spark", "merge"], 8),
@@ -430,6 +480,12 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_hot_term": osql.bm25_topk_sql(["the"], 20),
         "bm25_topk_filtered": osql.bm25_topk_sql(
             ["spark", "merge"], 10, filter_where="d.lang = 'en'"
+        ),
+        "bm25_topk_filtered_hot": osql.bm25_topk_sql(
+            ["the", "data"], 20, filter_where="d.lang = 'en'"
+        ),
+        "bm25_topk_after_delete": osql.bm25_topk_sql(
+            ["spark", "merge"], 10, filter_where="d.doc_id % 7 <> 0"
         ),
         "bm25_radial": osql.bm25_radial_sql(["spark", "merge"], 0.4),
         "bm25_bruteforce": osql.bm25_topk_sql(["batch", "window"], 10),

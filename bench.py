@@ -119,7 +119,10 @@ def _timed_builds(spark, n_convs: int, scratch: str, trials: int):
 
 
 def _run_queries(spark, store):
-    from opensearch_jvector_spark.operators.wand import bm25_topk_batch
+    from opensearch_jvector_spark.operators.wand import (
+        QueryMetrics,
+        bm25_topk_batch,
+    )
     from opensearch_jvector_spark.plans.query import Query
     from opensearch_jvector_spark.sources.transcripts import query_set
 
@@ -128,8 +131,9 @@ def _run_queries(spark, store):
     # warm (JIT, norms cache, dictionary cache, broadcast)
     store.warm(spark)
     bm25_topk_batch(spark, store, qs[:8]).count()
+    metrics = QueryMetrics(spark)
     t0 = time.perf_counter()
-    n = bm25_topk_batch(spark, store, qs).count()
+    n = bm25_topk_batch(spark, store, qs, metrics=metrics).count()
     batch_sec = time.perf_counter() - t0
     # individual latencies for p50 (12 representative queries)
     lat = {}
@@ -137,7 +141,7 @@ def _run_queries(spark, store):
         t1 = time.perf_counter()
         bm25_topk_batch(spark, store, [q]).count()
         lat[q.query_id] = time.perf_counter() - t1
-    return batch_sec, n, lat
+    return batch_sec, n, lat, metrics.snapshot()
 
 
 def _kernel_task(args):
@@ -220,7 +224,7 @@ def main() -> None:
             spark, n_convs, os.path.join(root, f"c{CPUS}"), trials=1
         )
         build_sec = times[0]
-        batch_sec, n_rows, lat = _run_queries(spark, store)
+        batch_sec, n_rows, lat, pruning = _run_queries(spark, store)
     finally:
         spark.stop()
 
@@ -236,6 +240,9 @@ def main() -> None:
         "batch_100q_sec": round(batch_sec, 2),
         "batch_result_rows": n_rows,
         "cores": CPUS,
+        # block-max pruning effectiveness over the 100-query batch
+        # (reference stats analog: KNNCounter visited/reranked counts)
+        "pruning": pruning,
     }
 
     if os.environ.get("BENCH_SCALING") == "1":

@@ -52,14 +52,13 @@ class EngineConfig:
     # (stopword) terms split into multiple rows (north_rule: explicit skew)
     max_row_postings: int = 1 << 18
 
-    # query knobs (API parity with reference overquery/rescore:
-    # KNNConstants.java:119 default factor 5; RescoreContext.java:20-60).
-    # WAND/MaxScore is exact for BM25 so these are hints, not quality knobs.
-    overquery_factor: int = 5
-    # below this candidate count, skip pruning and brute-force the
-    # candidates (reference analog: KNNSettings.java:70,87 exact-search
-    # thresholds)
-    exact_search_threshold: int = 1024
+    # NOTE on reference knobs deliberately ABSENT here: the reference's
+    # overquery_factor + rescore oversampling (KNNConstants.java:119,
+    # RescoreContext.java:20-60) trade recall for latency in an
+    # approximate engine; MaxScore over BM25 is exact, so the knobs
+    # would be dead weight (round-1 carried an unused overquery_factor
+    # stub — deleted). The exact-search-threshold switch
+    # (KNNSettings.java:70,87) survives as driver_topk_max_postings.
 
     # small-query fast path: when a warmed store holds driver-side
     # norms and the query terms' total postings fit under this cap, the

@@ -1,0 +1,241 @@
+"""Delete support — tombstones at query time, compact-and-rebuild (M5).
+
+Reference: deletes force ordinal compaction and a from-scratch rebuild
+of the affected segments (`JVectorWriter.java:715-748` — compaction of
+the merged ordinal space over live docs; `:942-951` — the
+rebuild-on-deletes merge branch; exercised by the delete+filter cases
+in `KNNJVectorTests.java:1003`). Lucene semantics carry over exactly:
+
+  * ``delete_docs`` only records tombstones — queries mask the deleted
+    docs out of results, but corpus stats (df, avgdl, N) keep counting
+    them until a compaction, precisely as Lucene scores against
+    deleted-docs-inclusive stats between merges;
+  * ``compact_deletes`` rebuilds ONLY the affected chunks (the chunks
+    containing tombstoned doc_ids) from the source-of-truth text table
+    — the derived-source design (S9) stores text once outside the
+    index, so a rebuild is a pruned re-encode, never an index decode —
+    and corrects the dictionary + corpus stats so the index becomes
+    indistinguishable from one built without the deleted docs.
+
+Scale shape (10^12 turns): tombstones are tiny parquet batches;
+query-time masking is a per-chunk deny bitmap folded into the MaxScore
+kernel (bounds stay valid — a mask only removes candidates). Compaction
+cost is O(affected chunks), not O(index): the rebuilt postings/norms
+publish as one atomic override delta; readers drop the stale chunks via
+a chunk_id filter (a short isin over the overridden set) and read the
+override directories instead. Stats corrections come from the per-chunk
+n_docs/sum_dl carried in the norms rows and the df column of the
+visible posting rows of ONLY the affected chunks — no full-index scan.
+
+Crash safety follows the append protocol: override delta (atomic
+rename, deterministic name) -> dictionary version (covers-tagged,
+idempotent) -> stats swap (single visibility point) -> GC of
+tombstones, superseded override deltas and old dictionary versions.
+Re-running a crashed compaction regenerates byte-identical artifacts
+under the same name and re-links them.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.index_store import IndexStore
+
+
+def _as_id_df(spark: SparkSession, doc_ids) -> DataFrame:
+    if isinstance(doc_ids, DataFrame):
+        return doc_ids.select(F.col("doc_id").cast("long")).distinct()
+    return spark.createDataFrame(
+        [(int(i),) for i in doc_ids], "doc_id long"
+    ).distinct()
+
+
+def delete_docs(
+    spark: SparkSession,
+    store: IndexStore,
+    doc_ids,
+    batch_tag: str | None = None,
+) -> dict:
+    """Tombstone a set of doc_ids (DataFrame with a doc_id column, or an
+    iterable of ints). Queries exclude them immediately; stats stay
+    untouched until ``compact_deletes`` (Lucene semantics). Idempotent
+    per batch_tag."""
+    stats, config = store.read_stats()
+    name = batch_tag or f"tomb_{len(stats['tombstone_batches'])}"
+    path = store.tombstone_path(name)
+    if not os.path.isdir(path):
+        _as_id_df(spark, doc_ids).write.mode("errorifexists").parquet(path)
+    if name not in stats["tombstone_batches"]:
+        stats["tombstone_batches"].append(name)
+        store.write_stats(stats, config)
+    store.invalidate()
+    return stats
+
+
+def compact_deletes(
+    spark: SparkSession, store: IndexStore, docs: DataFrame
+) -> dict:
+    """Purge all tombstoned docs by rebuilding only the chunks that
+    contain them. ``docs`` is the source-of-truth (doc_id, text) table
+    the index was built from — the S9 derived-source design keeps text
+    outside the index, so compaction re-encodes from source instead of
+    decoding postings. After compaction the index is exactly what a
+    fresh build over the remaining docs would produce (same doc_ids —
+    they are stable ranks of (conv_id, turn_idx) and never renumber;
+    deleted ids simply become norm gaps)."""
+    from .merge import write_merged_delta
+    from .segment_build import build_segments_df
+
+    stats, config = store.read_stats()
+    tombs = store.read_tombstones(spark, stats)
+    if tombs is None:
+        return stats
+    dpc = config.docs_per_chunk
+    affected = sorted(
+        r["chunk_id"]
+        for r in tombs.select(
+            (F.col("doc_id") / dpc).cast("long").alias("chunk_id")
+        )
+        .distinct()
+        .collect()
+    )
+    if not affected:
+        return stats
+    digest = hashlib.sha256(
+        (",".join(sorted(stats["tombstone_batches"]))
+         + "|" + ",".join(map(str, affected))).encode()
+    ).hexdigest()[:12]
+    name = f"compact_{digest}"
+
+    # ---- old state of the affected chunks (for stats/dictionary
+    # corrections) — pruned reads, O(affected), no decode
+    old_norms = (
+        store.read_norms(spark, stats)
+        .filter(F.col("chunk_id").isin(affected))
+        .agg(
+            F.sum("n_docs").alias("n_docs"), F.sum("sum_dl").alias("sum_dl")
+        )
+        .collect()[0]
+    )
+    old_rows = store.read_postings(spark, stats).filter(
+        F.col("chunk_id").isin(affected)
+    )
+    old_post = old_rows.agg(
+        F.sum("df").alias("n_postings"),
+        F.sum(F.length("doc_bytes") + F.length("tf_bytes")).alias("bytes"),
+    ).collect()[0]
+    old_partials = old_rows.groupBy("term").agg(
+        F.sum("df").cast("long").alias("df")
+    )
+
+    # ---- rebuild the affected chunks from source, minus tombstones
+    chunk_col = (F.col("doc_id") / dpc).cast("long")
+    sub = (
+        docs.select("doc_id", "text")
+        .filter(chunk_col.isin(affected))
+        .join(tombs, "doc_id", "left_anti")
+    )
+    build = build_segments_df(
+        sub, config, lineage=name, layout="ranged"
+    ).persist()
+    segs = build.filter(F.col("kind") == "postings").select(
+        "seg_group", "sub", "term", "df", "doc_bytes", "tf_bytes",
+        "block_first", "block_last", "block_count", "block_doc_off",
+        "block_tf_off", "block_max_tf", "block_min_dl",
+    )
+    norms = build.filter(F.col("kind") == "norms").select(
+        "seg_group", "base_doc", "n_slots", "dl_bytes", "n_docs", "sum_dl"
+    )
+    new_man = (
+        build.filter(F.col("kind") == "manifest")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("sum_dl").alias("sum_dl"),
+            F.sum("n_postings").alias("n_postings"),
+            F.sum("postings_bytes").alias("bytes"),
+        )
+        .collect()[0]
+    )
+
+    # 1) override delta (atomic publish)
+    write_merged_delta(spark, store, config, segs, norms, name)
+
+    # 2) corrected dictionary: old - affected-chunk partials + rebuilt
+    #    partials (exact df; drops terms whose last postings died)
+    new_partials = segs.groupBy("term").agg(
+        F.sum("df").cast("long").alias("df")
+    )
+    merged_dict = (
+        store.read_dictionary(spark, stats)
+        .unionByName(new_partials)
+        .unionByName(old_partials.select("term", (-F.col("df")).alias("df")))
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .filter(F.col("df") > 0)
+    )
+    dict_seq = store.write_dictionary(merged_dict, config, covers=name)
+    build.unpersist()
+
+    # 3) stats swap — the single visibility point
+    overrides = dict(stats.get("chunk_overrides", {}))
+    superseded = {
+        overrides[str(c)] for c in affected if str(c) in overrides
+    }
+    for c in affected:
+        overrides[str(c)] = name
+    still_referenced = set(overrides.values())
+    stats["chunk_overrides"] = overrides
+    stats["n_docs"] = int(stats["n_docs"]) - int(old_norms["n_docs"] or 0) + int(
+        new_man["n_docs"] or 0
+    )
+    stats["sum_dl"] = int(stats["sum_dl"]) - int(old_norms["sum_dl"] or 0) + int(
+        new_man["sum_dl"] or 0
+    )
+    stats["avgdl"] = (
+        stats["sum_dl"] / stats["n_docs"] if stats["n_docs"] else 0.0
+    )
+    stats["n_postings"] = (
+        int(stats.get("n_postings", 0))
+        - int(old_post["n_postings"] or 0)
+        + int(new_man["n_postings"] or 0)
+    )
+    stats["postings_bytes"] = (
+        int(stats.get("postings_bytes", 0))
+        - int(old_post["bytes"] or 0)
+        + int(new_man["bytes"] or 0)
+    )
+    dict_agg = (
+        store.read_dictionary(spark, {**stats, "dict_version": dict_seq})
+        .agg(
+            F.max("df").alias("max_df"),
+            F.avg("df").alias("mean_df"),
+            F.count("*").alias("n_terms"),
+        )
+        .collect()[0]
+    )
+    stats["n_terms"] = int(dict_agg["n_terms"] or 0)
+    stats["max_df"] = int(dict_agg["max_df"] or 0)
+    stats["term_skew_ratio"] = (
+        float(dict_agg["max_df"]) / float(dict_agg["mean_df"])
+        if dict_agg["mean_df"]
+        else 1.0
+    )
+    stats["dict_version"] = dict_seq
+    cleared = stats["tombstone_batches"]
+    stats["tombstone_batches"] = []
+    store.write_stats(stats, config)
+
+    # 4) GC: tombstones are folded in; superseded override deltas and
+    #    old dictionary versions are unreachable from the new snapshot
+    for t in cleared:
+        shutil.rmtree(store.tombstone_path(t), ignore_errors=True)
+    for d in superseded - still_referenced:
+        shutil.rmtree(store.delta_path(d), ignore_errors=True)
+    store.gc_dictionaries(dict_seq)
+    store.invalidate()
+    return stats

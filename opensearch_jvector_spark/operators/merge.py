@@ -321,6 +321,57 @@ def _merge_norms_kernel(config: EngineConfig):
     return kernel
 
 
+def write_merged_delta(
+    spark: SparkSession,
+    store: IndexStore,
+    config: EngineConfig,
+    segs,
+    build_norms,
+    name: str,
+) -> None:
+    """Merge build-layer segment rows (SEGMENT_COLS) + norms rows
+    (NORMS_COLS) into ONE atomically-published delta directory — the
+    shared machinery behind incremental appends and delete compaction.
+    Same single-shuffle plan as merge_segments; publication is a single
+    directory rename, and an already-published delta is reused
+    (idempotent crash recovery)."""
+    import os
+    import shutil
+
+    if os.path.isdir(store.delta_path(name)):
+        return
+    spc = config.segments_per_chunk
+    stage = store.delta_stage_path(name)
+    shutil.rmtree(stage, ignore_errors=True)
+    pre = (
+        segs.withColumn("chunk_id", (F.col("seg_group") / spc).cast("long"))
+        .withColumn(
+            "term_bucket", term_bucket_col(F.col("term"), config.term_buckets)
+        )
+        .select(*_MERGE_IN_COLS)
+    )
+    merged = (
+        pre.repartition("term_bucket", "chunk_id")
+        .sortWithinPartitions("term", "chunk_id", "seg_group", "sub")
+        .mapInPandas(_merge_iter_factory(config), schema=POSTINGS_SCHEMA)
+    )
+    (
+        merged.write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(os.path.join(stage, "postings"))
+    )
+    (
+        build_norms.withColumn(
+            "chunk_id", (F.col("seg_group") / spc).cast("long")
+        )
+        .groupBy("chunk_id")
+        .applyInPandas(_merge_norms_kernel(config), schema=CHUNK_NORMS_SCHEMA)
+        .write.mode("overwrite")
+        .parquet(os.path.join(stage, "norms"))
+    )
+    store.publish_delta(name)
+
+
 def merge_segments(
     spark: SparkSession, store: IndexStore, config: EngineConfig = DEFAULT_CONFIG
 ) -> dict:

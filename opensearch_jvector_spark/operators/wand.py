@@ -26,10 +26,21 @@ Our plan (SURVEY.md §3.1 Spark trace):
      asc).limit(k) (TakeOrderedAndProject — partial + final top-k,
      the Lucene per-leaf + global merge analog).
 
-Filtered search (reference acceptDocs, JVectorReader.java:167-182) and
-radial search (min_score, KNNQueryBuilder.java:438-472) take the exact
-full-TAAT path — the reference likewise falls back to exact scoring for
-filtered/small cases (VectorIdsKNNIterator.java, KNNSettings.java:87).
+Filtered search (reference acceptDocs, JVectorReader.java:167-182)
+pushes the allow-bitmap INSIDE the MaxScore loop — the mask only
+removes candidates, so theta / suffix bounds stay valid and block
+skipping keeps working (the reference likewise hands acceptDocs into
+the graph search rather than post-filtering). Deleted docs (tombstones)
+arrive as a per-chunk DENY bitmap combined the same way; corpus stats
+keep counting deleted docs until compaction, exactly like Lucene.
+Radial search (min_score, KNNQueryBuilder.java:438-472) takes the exact
+full-TAAT path.
+
+Per-query pruning metrics (reference: KNNCounter.java:13-37,
+KNNGraphValue.java:17-23 — visited/reranked/expanded counters): pass a
+``QueryMetrics`` and the kernels report terms seen, blocks decoded vs
+skipped and candidate counts through Spark accumulators — the evidence
+that block-max pruning actually prunes (bench.py records them).
 
 All kernels are numpy-vectorized over Arrow batches.
 """
@@ -50,10 +61,30 @@ from ..sources.index_store import IndexStore
 _RESULT_SCHEMA = "query_id string, doc_id long, score double"
 
 
-def _decode_term_rows(rows: list[dict]) -> tuple[np.ndarray, np.ndarray]:
-    """Decode all slices of one term within one chunk -> (docs, tfs)."""
+class QueryMetrics:
+    """Per-batch search counters (Spark accumulators — aggregated across
+    every chunk task; also updated in-place by the driver fast path).
+    Reference analog: KNNCounter / KNNGraphValue node-level stats."""
+
+    FIELDS = (
+        "chunks", "terms_seen", "blocks_total", "blocks_decoded",
+        "blocks_skipped", "candidates",
+    )
+
+    def __init__(self, spark: SparkSession):
+        sc = spark.sparkContext
+        for f in self.FIELDS:
+            setattr(self, f, sc.accumulator(0))
+
+    def snapshot(self) -> dict:
+        return {f: int(getattr(self, f).value) for f in self.FIELDS}
+
+
+def _decode_term_rows(rows: list[dict]) -> tuple[np.ndarray, np.ndarray, int]:
+    """Decode all slices of one term within one chunk -> (docs, tfs,
+    n_blocks_decoded)."""
     rows = sorted(rows, key=lambda r: r["slice"])
-    ds, ts = [], []
+    ds, ts, nb = [], [], 0
     for r in rows:
         d, t = decode_blocks(
             r["doc_bytes"], r["tf_bytes"],
@@ -62,23 +93,27 @@ def _decode_term_rows(rows: list[dict]) -> tuple[np.ndarray, np.ndarray]:
         )
         ds.append(d)
         ts.append(t)
-    return np.concatenate(ds), np.concatenate(ts)
+        nb += len(r["block_first"])
+    return np.concatenate(ds), np.concatenate(ts), nb
 
 
 def _decode_term_rows_pruned(
     rows: list[dict], cand_global: np.ndarray
-) -> tuple[np.ndarray, np.ndarray]:
+) -> tuple[np.ndarray, np.ndarray, int, int]:
     """Decode only blocks whose doc range intersects the sorted global
-    candidate ids (block-max skipping)."""
+    candidate ids (block-max skipping) -> (docs, tfs, decoded, total)."""
     ds, ts = [], []
+    decoded = total = 0
     for r in sorted(rows, key=lambda r: r["slice"]):
         first = np.asarray(r["block_first"], dtype=np.int64)
         last = np.asarray(r["block_last"], dtype=np.int64)
+        total += len(first)
         lo = np.searchsorted(cand_global, first, side="left")
         hi = np.searchsorted(cand_global, last, side="right")
         sel = hi > lo
         if not sel.any():
             continue
+        decoded += int(sel.sum())
         d, t = decode_blocks(
             r["doc_bytes"], r["tf_bytes"],
             first, np.asarray(r["block_count"], dtype=np.int32),
@@ -89,8 +124,8 @@ def _decode_term_rows_pruned(
         ds.append(d)
         ts.append(t)
     if not ds:
-        return np.empty(0, np.int64), np.empty(0, np.int64)
-    return np.concatenate(ds), np.concatenate(ts)
+        return np.empty(0, np.int64), np.empty(0, np.int64), decoded, total
+    return np.concatenate(ds), np.concatenate(ts), decoded, total
 
 
 def _term_upper_bound(rows: list[dict], idf: float, avgdl: float, k1, b) -> float:
@@ -106,12 +141,35 @@ def _term_upper_bound(rows: list[dict], idf: float, avgdl: float, k1, b) -> floa
     return ub
 
 
+def _chunk_mask(nrow, n_slots: int, has_filter: bool):
+    """allowed-slot boolean mask from the optional allow (filtered
+    search) and deny (tombstone) bitmaps of one norms row; None means
+    "all allowed". Returns (mask, empty) — empty=True when a filter is
+    present but admits nothing in this chunk."""
+    mask = None
+    allow_raw = nrow.get("mask_bytes") if hasattr(nrow, "get") else nrow["mask_bytes"]
+    deny_raw = nrow.get("deny_bytes") if hasattr(nrow, "get") else nrow["deny_bytes"]
+    if has_filter:
+        if allow_raw is None:
+            return None, True
+        mask = np.unpackbits(np.frombuffer(allow_raw, dtype=np.uint8))[
+            :n_slots
+        ].astype(bool)
+    if deny_raw is not None:
+        deny = np.unpackbits(np.frombuffer(deny_raw, dtype=np.uint8))[
+            :n_slots
+        ].astype(bool)
+        mask = ~deny if mask is None else (mask & ~deny)
+    return mask, False
+
+
 def _query_kernel(
     queries: list[tuple[str, tuple[str, ...], int | None, float | None]],
     idfs: dict[str, float],
     avgdl: float,
     config_vals: tuple[float, float],
     has_filter: bool,
+    metrics: QueryMetrics | None = None,
 ):
     """Per-chunk kernel body, shared by all queries in the batch."""
     k1, b = config_vals
@@ -126,24 +184,26 @@ def _query_kernel(
         base = int(nrow["base_doc"])
         dls = np.frombuffer(nrow["dl_bytes"], dtype=np.int32)
         n_slots = len(dls)
-        mask = None
-        if has_filter and nrow.get("mask_bytes") is not None:
-            mask = np.unpackbits(
-                np.frombuffer(nrow["mask_bytes"], dtype=np.uint8)
-            )[:n_slots].astype(bool)
-        elif has_filter:
-            # filter present but no allowed docs in this chunk
+        mask, empty = _chunk_mask(nrow, n_slots, has_filter)
+        if empty:
             return pd.DataFrame({"query_id": [], "doc_id": [], "score": []})
 
         by_term: dict[str, list[dict]] = {}
         for r in post_pdf.to_dict("records"):
             by_term.setdefault(r["term"], []).append(r)
         decode_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        m_terms = m_total = m_decoded = m_skipped = m_cand = 0
 
         def full_decode(t: str):
+            nonlocal m_decoded
             if t not in decode_cache:
-                decode_cache[t] = _decode_term_rows(by_term[t])
+                d, tf, nb = _decode_term_rows(by_term[t])
+                m_decoded += nb
+                decode_cache[t] = (d, tf)
             return decode_cache[t]
+
+        def n_blocks(t: str) -> int:
+            return sum(len(r["block_first"]) for r in by_term[t])
 
         out_q, out_d, out_s = [], [], []
 
@@ -151,6 +211,8 @@ def _query_kernel(
             terms = [t for t in qterms if t in by_term and t in idfs]
             if not terms:
                 continue
+            m_terms += len(terms)
+            m_total += sum(n_blocks(t) for t in terms)
             ubs = np.array(
                 [_term_upper_bound(by_term[t], idfs[t], avgdl, k1, b) for t in terms]
             )
@@ -161,7 +223,12 @@ def _query_kernel(
 
             acc = np.zeros(n_slots, dtype=np.float64)
             touched = np.zeros(n_slots, dtype=bool)
-            use_pruning = mask is None and min_score is None and k is not None
+            # the mask does NOT disable pruning: it only removes
+            # candidates, so theta (k-th best allowed score) and the
+            # suffix bound (max any unseen doc could still gain) remain
+            # a valid MaxScore pair. min_score (radial) needs every
+            # qualifying doc, so it takes the exact path.
+            use_pruning = min_score is None and k is not None
             theta = -np.inf
             i = 0
             n_terms = len(terms)
@@ -170,6 +237,10 @@ def _query_kernel(
                     break
                 docs, tfs = full_decode(terms[i])
                 loc = docs - base
+                if mask is not None:
+                    keep = mask[loc]
+                    loc = loc[keep]
+                    tfs = tfs[keep]
                 acc[loc] += score_np(tfs, dls[loc], idfs[terms[i]], avgdl, k1, b)
                 touched[loc] = True
                 i += 1
@@ -180,21 +251,34 @@ def _query_kernel(
             if i < n_terms:
                 # non-essential phase: candidates only
                 cand = np.nonzero(touched & (acc + suffix[i] >= theta))[0]
+                m_cand += len(cand)
                 cand_g = cand + base
                 for j in range(i, n_terms if len(cand_g) else i):
-                    docs, tfs = _decode_term_rows_pruned(by_term[terms[j]], cand_g)
+                    docs, tfs, dec, tot = _decode_term_rows_pruned(
+                        by_term[terms[j]], cand_g
+                    )
+                    m_decoded += dec
+                    m_skipped += tot - dec
                     if not len(docs):
                         continue
                     pos = np.searchsorted(cand_g, docs)
                     pos = np.minimum(pos, len(cand_g) - 1)
                     hit = cand_g[pos] == docs
                     loc = docs[hit] - base
+                    if mask is not None:
+                        # cand is mask-filtered already; docs outside it
+                        # miss the searchsorted hit test above
+                        pass
                     acc[loc] += score_np(
                         tfs[hit], dls[loc], idfs[terms[j]], avgdl, k1, b
                     )
+                if not len(cand_g):
+                    # every remaining term's blocks were skipped outright
+                    m_skipped += sum(n_blocks(terms[j]) for j in range(i, n_terms))
                 sel = cand
             else:
-                sel = np.nonzero(touched if mask is None else (touched & mask))[0]
+                sel = np.nonzero(touched)[0]
+                m_cand += len(sel)
 
             if min_score is not None:
                 keep = sel[acc[sel] >= min_score]
@@ -217,11 +301,31 @@ def _query_kernel(
                 out_d.extend((sel[keep] + base).tolist())
                 out_s.extend(scores[keep].tolist())
 
+        if metrics is not None:
+            metrics.chunks.add(1)
+            metrics.terms_seen.add(m_terms)
+            metrics.blocks_total.add(m_total)
+            metrics.blocks_decoded.add(m_decoded)
+            metrics.blocks_skipped.add(m_skipped)
+            metrics.candidates.add(m_cand)
         return pd.DataFrame(
             {"query_id": out_q, "doc_id": out_d, "score": out_s}
         )
 
     return kernel
+
+
+def _deny_pdf_for_chunk(
+    tombstones: np.ndarray, base: int, n_slots: int
+) -> bytes | None:
+    ids = tombstones[
+        (tombstones >= base) & (tombstones < base + n_slots)
+    ]
+    if not len(ids):
+        return None
+    bits = np.zeros(n_slots, dtype=np.uint8)
+    bits[ids - base] = 1
+    return np.packbits(bits).tobytes()
 
 
 def _local_topk(
@@ -231,16 +335,22 @@ def _local_topk(
     idfs: dict[str, float],
     avgdl: float,
     config,
+    stats: dict,
+    metrics: QueryMetrics | None = None,
 ) -> DataFrame:
     """Driver-side exact path for small queries: pruned pyarrow read of
     the matching posting slices, the SAME per-chunk kernel run locally
     over the warmed driver norms, then the same global tie-break.
     Rank-identical to the distributed path by construction (shared
     kernel + shared final ordering); no Spark job is dispatched until
-    the (tiny) result DataFrame is created."""
-    tbl = store.read_postings_arrow(list(idfs), config)
+    the (tiny) result DataFrame is created. Tombstones become per-chunk
+    deny bitmaps exactly as in the distributed path."""
+    tbl = store.read_postings_arrow(list(idfs), config, stats)
+    tombs = store._driver_tombstones
     qspec = [(q.query_id, q.terms, q.k, q.min_score) for q in queries]
-    kernel = _query_kernel(qspec, idfs, avgdl, (config.k1, config.b), False)
+    kernel = _query_kernel(
+        qspec, idfs, avgdl, (config.k1, config.b), False, metrics
+    )
     parts = []
     if tbl is not None and tbl.num_rows:
         pdf = tbl.to_pandas()
@@ -249,6 +359,11 @@ def _local_topk(
             if entry is None:
                 continue
             base, dls = entry
+            deny = (
+                _deny_pdf_for_chunk(tombs, base, len(dls))
+                if tombs is not None
+                else None
+            )
             norms_pdf = pd.DataFrame(
                 {
                     "chunk_id": [int(chunk_id)],
@@ -256,6 +371,7 @@ def _local_topk(
                     "n_slots": [len(dls)],
                     "dl_bytes": [dls.tobytes()],
                     "mask_bytes": [None],
+                    "deny_bytes": [deny],
                 }
             )
             parts.append(kernel((int(chunk_id),), grp, norms_pdf))
@@ -283,16 +399,37 @@ def _local_topk(
     )
 
 
+def _bitmap_kernel_factory(dpc: int, out_col: str):
+    def bitmap_kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        (chunk_id,) = key
+        base = int(chunk_id) * dpc
+        bits = np.zeros(dpc, dtype=np.uint8)
+        loc = pdf["doc_id"].to_numpy().astype(np.int64) - base
+        bits[loc] = 1
+        return pd.DataFrame(
+            {
+                "chunk_id": [int(chunk_id)],
+                out_col: [np.packbits(bits).tobytes()],
+            }
+        )
+
+    return bitmap_kernel
+
+
 def bm25_topk_batch(
     spark: SparkSession,
     store: IndexStore,
     queries: list[Query],
     filter_docs: DataFrame | None = None,
+    metrics: QueryMetrics | None = None,
 ) -> DataFrame:
     """Answer a batch of queries against a built index.
 
     Returns (query_id, doc_id, score, rank) with rank 1..k per query
     (radial queries return all hits >= min_score, rank by score).
+    Deleted docs (tombstones) are masked out; scores keep using the
+    full-corpus stats until compaction, mirroring Lucene's
+    deleted-docs-still-count semantics.
     """
     stats, config = store.read_stats()
     avgdl = float(stats["avgdl"])
@@ -309,46 +446,59 @@ def bm25_topk_batch(
         for t in dfs
     }
 
+    has_tombs = bool(stats.get("tombstone_batches"))
+
     # small-query fast path (reference exact-search-threshold analog):
     # warmed driver norms + bounded postings volume -> no Spark job
     if (
         filter_docs is None
         and store._driver_norms is not None
+        and (not has_tombs or store._driver_tombstones is not None)
         and sum(dfs.values()) <= config.driver_topk_max_postings
     ):
-        return _local_topk(spark, store, queries, idfs, avgdl, config)
+        return _local_topk(
+            spark, store, queries, idfs, avgdl, config, stats, metrics
+        )
 
-    postings = store.read_postings_for_terms(spark, all_terms, config)
-    norms = store.read_norms(spark)
+    postings = store.read_postings_for_terms(spark, all_terms, config, stats)
+    norms = store.read_norms(spark, stats)
     has_filter = filter_docs is not None
+    dpc = config.docs_per_chunk
     if has_filter:
-        dpc = config.docs_per_chunk
-
-        def bitmap_kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
-            (chunk_id,) = key
-            base = int(chunk_id) * dpc
-            bits = np.zeros(dpc, dtype=np.uint8)
-            loc = pdf["doc_id"].to_numpy().astype(np.int64) - base
-            bits[loc] = 1
-            return pd.DataFrame(
-                {"chunk_id": [int(chunk_id)], "mask_bytes": [np.packbits(bits).tobytes()]}
-            )
-
         bitmaps = (
             filter_docs.select(
                 F.col("doc_id"),
                 (F.col("doc_id") / dpc).cast("long").alias("chunk_id"),
             )
             .groupBy("chunk_id")
-            .applyInPandas(bitmap_kernel, schema="chunk_id long, mask_bytes binary")
+            .applyInPandas(
+                _bitmap_kernel_factory(dpc, "mask_bytes"),
+                schema="chunk_id long, mask_bytes binary",
+            )
         )
         norms = norms.join(bitmaps, "chunk_id", "left")
     else:
         norms = norms.withColumn("mask_bytes", F.lit(None).cast("binary"))
+    if has_tombs:
+        tombs = store.read_tombstones(spark, stats)
+        deny = (
+            tombs.select(
+                F.col("doc_id"),
+                (F.col("doc_id") / dpc).cast("long").alias("chunk_id"),
+            )
+            .groupBy("chunk_id")
+            .applyInPandas(
+                _bitmap_kernel_factory(dpc, "deny_bytes"),
+                schema="chunk_id long, deny_bytes binary",
+            )
+        )
+        norms = norms.join(deny, "chunk_id", "left")
+    else:
+        norms = norms.withColumn("deny_bytes", F.lit(None).cast("binary"))
 
     qspec = [(q.query_id, q.terms, q.k, q.min_score) for q in queries]
     kernel = _query_kernel(
-        qspec, idfs, avgdl, (config.k1, config.b), has_filter
+        qspec, idfs, avgdl, (config.k1, config.b), has_filter, metrics
     )
     results = (
         postings.groupBy("chunk_id")
@@ -376,10 +526,11 @@ def bm25_topk(
     terms: list[str],
     k: int,
     filter_docs: DataFrame | None = None,
+    metrics: QueryMetrics | None = None,
 ) -> DataFrame:
     """Single-query convenience: (doc_id, score, rank)."""
     q = Query("q", tuple(sorted(set(terms))), k)
-    return bm25_topk_batch(spark, store, [q], filter_docs).select(
+    return bm25_topk_batch(spark, store, [q], filter_docs, metrics).select(
         "doc_id", "score", "rank"
     )
 

@@ -8,9 +8,10 @@ capability gates, parameter registry checks
 
 Ours: a plain dataclass over query text; ``k`` (top-k) and
 ``min_score`` (radial search, Q5) are mutually exclusive like the
-reference's k vs maxDistance/minScore; method params (overquery_factor)
-are accepted for API parity but WAND/MaxScore is exact so they do not
-change results (SURVEY.md §4 "rescore oversampling — keep config stub").
+reference's k vs maxDistance/minScore. The reference's approximate-
+search knobs (overquery_factor, rescore oversampling) are deliberately
+absent: MaxScore over BM25 is exact, so they cannot change results —
+carrying them would be dead API (see config.py for the full note).
 """
 
 from __future__ import annotations
@@ -34,7 +35,6 @@ class Query:
     terms: tuple[str, ...]
     k: int | None = 10
     min_score: float | None = None  # radial search (reference Q5)
-    overquery_factor: int | None = None  # API parity; no effect on results
 
     @staticmethod
     def from_text(

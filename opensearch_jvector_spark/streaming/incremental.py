@@ -51,7 +51,6 @@ providing exactly-once batch replay on top of our idempotent merge.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -59,19 +58,8 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..config import EngineConfig
 from ..operators.docid import assign_doc_ids
-from ..operators.merge import _merge_iter_factory, _merge_norms_kernel
-from ..sources.index_store import (
-    CHUNK_NORMS_SCHEMA,
-    POSTINGS_SCHEMA,
-    IndexStore,
-    term_bucket_col,
-)
-
-_MERGE_IN_COLS = [
-    "term", "chunk_id", "term_bucket", "seg_group", "sub", "df",
-    "doc_bytes", "tf_bytes", "block_first", "block_last", "block_count",
-    "block_doc_off", "block_tf_off", "block_max_tf", "block_min_dl",
-]
+from ..operators.merge import write_merged_delta
+from ..sources.index_store import IndexStore
 
 
 def _existing_waves(store: IndexStore) -> int:
@@ -109,46 +97,16 @@ def _publish_delta(
 ) -> None:
     """Merge every build segment in chunk >= min_chunk (disjoint from
     all merged data by construction) into ONE atomically-published
-    delta directory. Idempotent: an already-published delta is reused."""
-    if os.path.isdir(store.delta_path(name)):
-        return
+    delta directory. Idempotent: an already-published delta is reused.
+    Same single-shuffle layout as merge_segments: (term_bucket,
+    chunk_id) keys co-locate merge groups and match the output
+    partitioning."""
     spc = config.segments_per_chunk
-    stage = store.delta_stage_path(name)
-    shutil.rmtree(stage, ignore_errors=True)
-
     segs = _new_chunk_segs(spark, store, config, min_chunk, waves)
-    pre = (
-        segs.withColumn("chunk_id", (F.col("seg_group") / spc).cast("long"))
-        .withColumn(
-            "term_bucket", term_bucket_col(F.col("term"), config.term_buckets)
-        )
-        .select(_MERGE_IN_COLS)
-    )
-    # same single-shuffle layout as merge_segments: (term_bucket,
-    # chunk_id) keys co-locate merge groups and match the output
-    # partitioning
-    merged = (
-        pre.repartition("term_bucket", "chunk_id")
-        .sortWithinPartitions("term", "chunk_id", "seg_group", "sub")
-        .mapInPandas(_merge_iter_factory(config), schema=POSTINGS_SCHEMA)
-    )
-    (
-        merged.write.mode("overwrite")
-        .partitionBy("term_bucket")
-        .parquet(os.path.join(stage, "postings"))
-    )
-
     norms = store.read_build_norms(spark, waves).filter(
         (F.col("seg_group") / spc).cast("long") >= min_chunk
     )
-    (
-        norms.withColumn("chunk_id", (F.col("seg_group") / spc).cast("long"))
-        .groupBy("chunk_id")
-        .applyInPandas(_merge_norms_kernel(config), schema=CHUNK_NORMS_SCHEMA)
-        .write.mode("overwrite")
-        .parquet(os.path.join(stage, "norms"))
-    )
-    store.publish_delta(name)
+    write_merged_delta(spark, store, config, segs, norms, name)
 
 
 def _merge_dictionary(
