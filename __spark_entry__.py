@@ -300,11 +300,17 @@ def _q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via the PERSISTED IVF index: built once (cell-partitioned
+    inverted lists + centroid table), then the query only probes its
+    n_probe cell directories — no corpus-wide job at query time."""
     from opensearch_jvector_spark.operators.similarity import cosine_topk_ivf
 
+    index_dir = os.path.join(
+        "/tmp/ojs_ivf", os.path.abspath(sf_dir).strip("/").replace("/", "_")
+    )
     return cosine_topk_ivf(
         _embs(spark, sf_dir), _query_vec(spark, sf_dir), k=10,
-        n_centroids=16, n_probe=4,
+        n_centroids=16, n_probe=4, index_dir=index_dir,
     )
 
 

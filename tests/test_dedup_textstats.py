@@ -201,3 +201,36 @@ def test_ivf_recall_vs_bruteforce(spark):
     # pruned probe: results are a subset of the corpus ranked exactly;
     # recall floor mirrors the reference's recall suite (>= 0.5 of 10)
     assert len(set(some) & set(exact)) >= 5
+
+
+def test_persisted_ivf_kmeans_recall_and_pruned_scan(spark, tmp_path):
+    """The production IVF lifecycle (reference: build graph at flush,
+    probe at search — JVectorWriter.flush / JVectorReader.search):
+    k-means-refined index built ONCE; queries read only their probed
+    cell directories and hit the recall floor the reference's own suite
+    uses (>= 0.75 of exact top-k, RecallTestsIT.java:123-125)."""
+    from opensearch_jvector_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        ivf_build,
+        ivf_query,
+    )
+
+    embs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    index_dir = str(tmp_path / "ivf")
+    ivf_build(embs, index_dir, n_centroids=16, kmeans_iters=2)
+
+    recalls = []
+    for qid in (7, 42, 123, 300):
+        q = [
+            float(x)
+            for x in embs.filter(F.col("vec_id") == qid).first()["embedding"]
+        ]
+        exact = {r.vec_id for r in cosine_topk_bruteforce(embs, q, 10).collect()}
+        res = ivf_query(spark, index_dir, q, 10, n_probe=8)
+        # query scans ONLY the probed cell dirs — never the corpus
+        files = res.inputFiles()
+        assert files and all("/cells/cell=" in f for f in files)
+        assert len({f.split("/cells/")[1].split("/")[0] for f in files}) <= 8
+        got = {r.vec_id for r in res.collect()}
+        recalls.append(len(got & exact) / 10.0)
+    assert sum(recalls) / len(recalls) >= 0.75, recalls
