@@ -113,3 +113,31 @@ def test_real_format_decode_is_gated(spark):
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
+
+
+def test_jpeg_decode_roundtrip_when_pillow_present(spark):
+    """Real-format decode path (reference capability: actual media, not
+    just the synthetic container). Runs only when Pillow is importable;
+    in the hermetic container it is skipped and the gate above applies."""
+    from opensearch_jvector_spark.operators.multimodal import HAVE_PIL
+
+    if not HAVE_PIL:
+        pytest.skip("Pillow not installed — JPEG branch gated off")
+    import io
+
+    import numpy as np
+    import pandas as pd
+    import PIL.Image as Image
+
+    rng = np.random.RandomState(0)
+    arr = rng.randint(0, 256, size=(16, 24, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="JPEG", quality=95)
+    blob = buf.getvalue()
+    df = spark.createDataFrame(
+        pd.DataFrame({"media_id": [0], "payload": [blob]})
+    )
+    row = media_features(df).collect()[0]
+    ref = np.asarray(Image.open(io.BytesIO(blob))).astype(np.float64)
+    assert row.modality == "image"
+    assert row.mean_val == pytest.approx(ref.mean(), abs=1e-9)
