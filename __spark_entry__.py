@@ -228,6 +228,22 @@ def _q_segment_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_index_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone integrity check (S6 / JVectorReader.checkIntegrity):
+    recompute every segment's canonical digest + df/norms accounting.
+    The oracle pins the expected clean-report shape (segment count from
+    the corpus size; zero mismatches)."""
+    from opensearch_jvector_spark.operators.integrity import verify_index
+
+    r = verify_index(spark, _index_for(spark, sf_dir), strict=True)
+    return spark.createDataFrame(
+        [(r["checked_segments"], r["checksum_mismatches"],
+          r["df_mismatched_chunks"], r["ok"])],
+        "checked_segments long, checksum_mismatches long, "
+        "df_mismatched_chunks long, ok boolean",
+    )
+
+
 # ------------------------------------------- dedup / similarity / text
 
 
@@ -460,6 +476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_dictionary": _q_term_dict,
         "docid_dense_rank": _q_docid_dense_rank,
         "segment_manifest": _q_segment_manifest,
+        "index_verify": _q_index_verify,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram,
         "dedup_minhash_lsh": _q_dedup_minhash,
@@ -502,6 +519,12 @@ def oracle_sql() -> dict[str, str]:
         "docid_dense_rank": osql.docid_dense_rank_sql(),
         "segment_manifest": osql.segment_manifest_sql(
             ENTRY_CONFIG.docs_per_segment
+        ),
+        "index_verify": (
+            "SELECT CAST((count(*) + {dps} - 1) // {dps} AS BIGINT)"
+            " AS checked_segments, CAST(0 AS BIGINT) AS checksum_mismatches,"
+            " CAST(0 AS BIGINT) AS df_mismatched_chunks, true AS ok"
+            " FROM documents".format(dps=ENTRY_CONFIG.docs_per_segment)
         ),
         "dedup_exact": osops.dedup_exact_sql(),
         "dedup_ngram_jaccard": osops.dedup_ngram_jaccard_sql(n=3, threshold=0.4),

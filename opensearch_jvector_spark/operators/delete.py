@@ -178,7 +178,7 @@ def compact_deletes(
         .agg(F.sum("df").alias("df"))
         .filter(F.col("df") > 0)
     )
-    dict_seq = store.write_dictionary(merged_dict, config, covers=name)
+    dict_seq, _ = store.write_dictionary(merged_dict, config, covers=name)
     build.unpersist()
 
     # 3) stats swap — the single visibility point

@@ -32,10 +32,42 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def conversation_offsets(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
-    """(conv_id, conv_offset, n_turns): global turn-rank offset per conv."""
+def conversation_offsets(
+    df: DataFrame,
+    num_partitions: int | None = None,
+    driver_limit: int = 4_000_000,
+) -> DataFrame:
+    """(conv_id, conv_offset, n_turns): global turn-rank offset per conv.
+
+    Driver fast path: when there are at most ``driver_limit``
+    conversations, the per-conv counts (tiny rows) are collected, the
+    prefix sum runs in numpy, and the offsets return as a local
+    DataFrame — ONE Spark job instead of three (range-sampling, local
+    cumsum, totals collect). At 10^12 turns / >driver_limit convs the
+    distributed two-phase scheme below applies unchanged; both are
+    deterministic and agree exactly (ascending conv_id cumsum)."""
     spark = df.sparkSession
     counts = df.groupBy("conv_id").agg(F.count("*").alias("n_turns"))
+    counts = counts.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        n_convs = counts.count()
+        if n_convs <= driver_limit:
+            pdf = counts.toPandas()  # Arrow-batched, cached input
+            pdf = pdf.sort_values("conv_id", kind="stable", ignore_index=True)
+            nt = pdf["n_turns"].to_numpy(dtype=np.int64)
+            pdf["conv_offset"] = np.concatenate(([0], np.cumsum(nt)[:-1]))
+            return spark.createDataFrame(
+                pdf[["conv_id", "conv_offset", "n_turns"]],
+                schema="conv_id string, conv_offset long, n_turns long",
+            )
+        return _distributed_offsets(spark, counts, num_partitions)
+    finally:
+        counts.unpersist()
+
+
+def _distributed_offsets(
+    spark, counts: DataFrame, num_partitions: int | None
+) -> DataFrame:
     p = num_partitions or spark.sparkContext.defaultParallelism
     ranged = counts.repartitionByRange(p, "conv_id").sortWithinPartitions("conv_id")
 

@@ -321,6 +321,41 @@ def _merge_norms_kernel(config: EngineConfig):
     return kernel
 
 
+def _merged_rows(spark, pre, config: EngineConfig):
+    """The single merge shuffle. Keys are (term_bucket, chunk_id) —
+    chunk_id is the built-in salt: a hot stopword term fans out across
+    ALL chunks, so no reducer receives more than docs_per_chunk
+    postings for one key. The partition id is COMPUTED as
+    ``bucket * S + chunk % S`` (S = chunk sub-splits per bucket) so
+    every reducer holds rows of ~one term_bucket: the partitionBy
+    output then writes ~1 file per task instead of (tasks x buckets)
+    files — at 64 reducers x 32 buckets the old layout produced ~2k
+    small files whose serial job-commit (v1 committer renames, driver-
+    side) dominated merge wall time and wrecked N-vs-4N scaling.
+    Deterministic (no range-sampling pass), skew-bounded, and the
+    output still lands partitioned by term_bucket for query pruning."""
+    shuffle_parts = int(
+        spark.conf.get("spark.sql.shuffle.partitions", "64")
+    )
+    s = max(1, shuffle_parts // config.term_buckets)
+    pid = (
+        F.col("term_bucket").cast("long") * s
+        + F.pmod(F.col("chunk_id"), F.lit(s))
+    )
+    # RANGE partitioning on the computed pid: pids are dense 0..B*S-1
+    # and uniform, so ranges assign ~one pid per reducer — balanced AND
+    # bucket-aligned (plain hash repartition scatters the 64 pid values
+    # unevenly: measured 2-3 buckets on some reducers = straggler tail).
+    # The range sampler's scan is column-pruned to the pid inputs.
+    return (
+        pre.withColumn("_pid", pid)
+        .repartitionByRange(config.term_buckets * s, "_pid")
+        .drop("_pid")
+        .sortWithinPartitions("term", "chunk_id", "seg_group", "sub")
+        .mapInPandas(_merge_iter_factory(config), schema=POSTINGS_SCHEMA)
+    )
+
+
 def write_merged_delta(
     spark: SparkSession,
     store: IndexStore,
@@ -350,11 +385,7 @@ def write_merged_delta(
         )
         .select(*_MERGE_IN_COLS)
     )
-    merged = (
-        pre.repartition("term_bucket", "chunk_id")
-        .sortWithinPartitions("term", "chunk_id", "seg_group", "sub")
-        .mapInPandas(_merge_iter_factory(config), schema=POSTINGS_SCHEMA)
-    )
+    merged = _merged_rows(spark, pre, config)
     (
         merged.write.mode("overwrite")
         .partitionBy("term_bucket")
@@ -376,7 +407,13 @@ def merge_segments(
     spark: SparkSession, store: IndexStore, config: EngineConfig = DEFAULT_CONFIG
 ) -> dict:
     """Merge the build layer into the global query index + dictionary +
-    stats. Returns the merge report (also persisted in stats.json)."""
+    stats. Returns the merge report (also persisted in stats.json,
+    including per-step wall times — the scaling bench uses them to
+    attribute N-vs-4N efficiency loss to specific stages)."""
+    import time
+
+    t = {}
+    t0 = time.perf_counter()
     segs = store.read_build_postings(spark)
     spc = config.segments_per_chunk
 
@@ -385,39 +422,46 @@ def merge_segments(
         .withColumn("term_bucket", term_bucket_col(F.col("term"), config.term_buckets))
         .select(_MERGE_IN_COLS)
     )
-    # ONE shuffle: partitioning by (term_bucket, chunk_id) co-locates
-    # every (term, chunk) merge group (bucket is a function of term)
-    # AND already matches the output partitionBy(term_bucket) layout,
-    # so the merged rows stream straight into the partitioned write —
-    # no second shuffle of the merged index. chunk_id stays in the key
-    # as the built-in salt: a hot stopword term fans out across all
-    # chunks, bounding any one reducer at docs_per_chunk postings.
-    merged = (
-        pre.repartition("term_bucket", "chunk_id")
-        .sortWithinPartitions("term", "chunk_id", "seg_group", "sub")
-        .mapInPandas(_merge_iter_factory(config), schema=POSTINGS_SCHEMA)
-    )
+    merged = _merged_rows(spark, pre, config)
     (
         merged.write.mode("overwrite")
         .partitionBy("term_bucket")
         .parquet(store.postings_path)
     )
+    t["merge_postings_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
 
     # global dictionary: two-stage exact df aggregation from partials,
     # written bucket-partitioned (same pruning as postings; at 10^12
     # turns the vocabulary is billions of terms — a single-partition
-    # write would funnel them through one task)
-    dictionary = segs.groupBy("term").agg(F.sum("df").alias("df"))
+    # write would funnel them through one task). Skew stats piggyback
+    # on the write job via an Observation — no second dictionary scan,
+    # no extra driver barrier.
     import os
 
+    from pyspark.sql import Observation
+
+    obs = Observation("dict_skew")
+    dictionary = (
+        segs.groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .observe(
+            obs,
+            F.max("df").alias("max_df"),
+            F.avg("df").alias("mean_df"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+    )
     n_waves = (
         len([d for d in os.listdir(store.build_path) if d.startswith("wave=")])
         if os.path.exists(store.build_path)
         else 0
     )
-    dict_seq = store.write_dictionary(
+    dict_seq, dict_fresh = store.write_dictionary(
         dictionary, config, covers=f"full-wave{n_waves}"
     )
+    t["merge_dictionary_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
 
     # chunk norms
     norms = store.read_build_norms(spark)
@@ -428,6 +472,8 @@ def merge_segments(
         .write.mode("overwrite")
         .parquet(store.norms_path)
     )
+    t["merge_norms_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
 
     # corpus stats from manifest partials (additive — the reference's
     # "refine, don't retrain" analog) + skew report
@@ -440,15 +486,19 @@ def merge_segments(
         F.count("*").alias("n_segments"),
         F.max("seg_group").alias("max_seg"),
     ).collect()[0]
-    skew = (
-        store.read_dictionary(spark)
-        .agg(
-            F.max("df").alias("max_df"),
-            F.avg("df").alias("mean_df"),
-            F.count("*").alias("n_terms"),
+    if dict_fresh:
+        skew = obs.get  # collected during the dictionary write job
+    else:
+        skew = (
+            store.read_dictionary(spark)
+            .agg(
+                F.max("df").alias("max_df"),
+                F.avg("df").alias("mean_df"),
+                F.count("*").alias("n_terms"),
+            )
+            .collect()[0]
+            .asDict()
         )
-        .collect()[0]
-    )
     n_docs = int(agg["n_docs"] or 0)
     stats = {
         "n_docs": n_docs,
@@ -471,6 +521,8 @@ def merge_segments(
         ),
         "dict_version": dict_seq,
     }
+    t["merge_stats_sec"] = round(time.perf_counter() - t0, 3)
+    stats["merge_timings"] = t
     store.write_stats(stats, config)
     store.gc_dictionaries(dict_seq)
     return stats

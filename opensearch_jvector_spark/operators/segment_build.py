@@ -20,7 +20,6 @@ loop over postings (north_star: "no per-row Python").
 
 from __future__ import annotations
 
-import hashlib
 import time
 
 import numpy as np
@@ -205,12 +204,15 @@ def _encode_slice(
             }
         )
 
-        # manifest row: checkpoint + build metrics
-        h = hashlib.sha256()
-        h.update(doc_bytes_all)
-        h.update(tf_bytes_all)
-        for t in term_strs:
-            h.update(t.encode("utf-8"))
+        # manifest row: checkpoint + build metrics. The digest is the
+        # CANONICAL per-term form (ascending term order) shared with
+        # operators/integrity.py::verify_index, so a standalone check
+        # can recompute it from the stored rows after any shuffle —
+        # the raw encoder-stream hash used before was ordered by
+        # dictionary code (first appearance) and unreproducible.
+        from .integrity import slice_digest
+
+        digest = slice_digest(term_strs, rows["doc_bytes"], rows["tf_bytes"])
         build_ms = (time.perf_counter() - t0) * 1000.0
         mean_df = float(t_counts.mean()) if n_terms else 0.0
         manifest = pd.DataFrame(
@@ -222,7 +224,7 @@ def _encode_slice(
                 "n_postings": [n_post],
                 "postings_bytes": [len(doc_bytes_all) + len(tf_bytes_all)],
                 "sum_dl": [int(dl.sum())],
-                "checksum": [h.hexdigest()],
+                "checksum": [digest],
                 "build_ms": [build_ms],
                 "terms_per_sec": [
                     (len(row_idx) / (build_ms / 1000.0)) if build_ms > 0 else 0.0
@@ -336,22 +338,33 @@ def build_index(
     lineage: str = "build",
     fail_after_wave: int | None = None,
     layout: str = "grouped",
+    doc_bounds: tuple[int, int] | None = None,
 ) -> IndexStore:
     """Build (or resume) the segment layer, then merge into the global
     index. ``waves`` splits the doc space into that many sequential
     atomic commits — the resume checkpoint granularity.
+
+    ``doc_bounds`` = (min_doc_id, max_doc_id) when the caller already
+    knows them (e.g. doc_ids are dense 0..n-1 from assign_doc_ids):
+    skips the min/max aggregation job, which otherwise forces a full
+    evaluation of ``docs`` BEFORE the build pass — with an unpersisted
+    input that would compute the whole upstream pipeline twice.
 
     ``fail_after_wave`` injects a crash between waves (resume tests —
     reference analog: restart-upgrade suite qa/.../IndexingIT.java).
     """
     from .merge import merge_segments  # local import to avoid cycle
 
+    t_start = time.perf_counter()
     store = IndexStore(root)
     done = store.completed_seg_groups(spark) if resume else set()
-    bounds = docs.agg(
-        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
-    ).collect()[0]
-    lo, hi = bounds["lo"], bounds["hi"]
+    if doc_bounds is not None:
+        lo, hi = doc_bounds
+    else:
+        bounds = docs.agg(
+            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+        ).collect()[0]
+        lo, hi = bounds["lo"], bounds["hi"]
     if lo is None:
         raise ValueError("build_index: empty docs DataFrame")
     seg_lo = lo // config.docs_per_segment
@@ -386,5 +399,12 @@ def build_index(
         store.write_build_wave(out, wave=existing_waves + w)
         if fail_after_wave is not None and w >= fail_after_wave:
             raise RuntimeError(f"injected failure after wave {w}")
-    merge_segments(spark, store, config)
+    wave_sec = time.perf_counter() - t_start
+    stats = merge_segments(spark, store, config)
+    # stage attribution for the scaling bench (persisted with the rest
+    # of the merge report)
+    stats.setdefault("merge_timings", {})["wave_build_sec"] = round(
+        wave_sec, 3
+    )
+    store.write_stats(stats, config)
     return store

@@ -37,6 +37,13 @@ def get_spark(
         .config("spark.speculation", "true")
         .config("spark.speculation.multiplier", "2")
         .config("spark.speculation.quantile", "0.75")
+        # local filesystem without Hadoop's .crc shadow files: they
+        # double every committer file operation, and the serial v1 job
+        # commit is wall-clock on the driver. Integrity is covered by
+        # parquet page checksums + the manifests' sha256 lineage; a
+        # cluster deployment writes to object stores where this knob is
+        # moot.
+        .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
     )
     if shuffle_partitions is not None:
         b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))

@@ -64,7 +64,9 @@ from pyspark.sql import functions as F
 
 from ..config import EngineConfig
 
-STORE_FORMAT = 2
+# 2: snapshot-pointer store (deltas, versioned dictionary, tombstones)
+# 3: canonical term-ordered manifest digests (operators/integrity.py)
+STORE_FORMAT = 3
 
 # one combined schema for the per-wave build write; each `kind` uses the
 # columns relevant to it, the rest are null (parquet nulls cost ~0)
@@ -430,16 +432,18 @@ class IndexStore:
 
     def write_dictionary(
         self, dictionary: DataFrame, config: EngineConfig, covers: str
-    ) -> int:
+    ) -> tuple[int, bool]:
         """Write the next dictionary version: partitioned by term_bucket
         (the SAME pruning as postings — no single-partition write),
         term-sorted within files for row-group min/max skipping.
         Idempotent per `covers` tag: if some committed version already
         covers this merge step, it is reused (crash recovery never
-        double-folds a delta)."""
+        double-folds a delta). Returns (seq, freshly_written) — callers
+        piggybacking Observations on the write must know whether the
+        job actually ran."""
         existing = self.find_dictionary_version(covers)
         if existing is not None:
-            return existing
+            return existing, False
         vs = self._dict_versions()
         seq = vs[-1][0] + 1 if vs else 0
         path = os.path.join(self.dictionary_root, f"v{seq:06d}")
@@ -458,7 +462,7 @@ class IndexStore:
         with open(marker + ".tmp", "w") as f:
             json.dump({"covers": covers}, f)
         os.replace(marker + ".tmp", marker)
-        return seq
+        return seq, True
 
     def gc_dictionaries(self, keep_seq: int | None = None) -> None:
         """Drop every dictionary version except the referenced one. A

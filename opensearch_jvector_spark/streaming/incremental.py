@@ -135,7 +135,8 @@ def _merge_dictionary(
     merged = (
         old.unionByName(delta).groupBy("term").agg(F.sum("df").alias("df"))
     )
-    return store.write_dictionary(merged, config, covers)
+    seq, _ = store.write_dictionary(merged, config, covers)
+    return seq
 
 
 def _apply_merged_stats(
