@@ -142,14 +142,18 @@ def _run_queries(spark, store):
     store.warm(spark)
     bm25_topk_batch(spark, store, qs[:8]).count()
     metrics = QueryMetrics(spark)
+    # latency = time to RESULTS IN THE CALLER'S HANDS (toPandas), not
+    # to a count() job: the driver fast path answers small queries
+    # locally in ~30 ms, and counting its tiny result DataFrame would
+    # bill ~140 ms of artificial Spark-job dispatch against it.
     t0 = time.perf_counter()
-    n = bm25_topk_batch(spark, store, qs, metrics=metrics).count()
+    n = len(bm25_topk_batch(spark, store, qs, metrics=metrics).toPandas())
     batch_sec = time.perf_counter() - t0
     # individual latencies for p50 (12 representative queries)
     lat = {}
     for q in qs[:12]:
         t1 = time.perf_counter()
-        bm25_topk_batch(spark, store, [q]).count()
+        bm25_topk_batch(spark, store, [q]).toPandas()
         lat[q.query_id] = time.perf_counter() - t1
     return batch_sec, n, lat, metrics.snapshot()
 

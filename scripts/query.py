@@ -14,6 +14,14 @@ import json
 import sys
 import time
 
+# allow `python scripts/x.py` from the repo root without --py-files:
+# the package sits one directory above this script
+import os as _os
+
+_repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _repo not in sys.path:
+    sys.path.insert(0, _repo)
+
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
