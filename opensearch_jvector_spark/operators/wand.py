@@ -60,6 +60,12 @@ from ..sources.index_store import IndexStore
 
 _RESULT_SCHEMA = "query_id string, doc_id long, score double"
 
+_POST_COLS = (
+    "term", "slice", "doc_bytes", "tf_bytes", "block_first", "block_last",
+    "block_count", "block_doc_off", "block_tf_off", "block_max_tf",
+    "block_min_dl",
+)
+
 
 class QueryMetrics:
     """Per-batch search counters (Spark accumulators — aggregated across
@@ -180,7 +186,13 @@ def _query_kernel(
         limit_worker_threads()
         if len(post_pdf) == 0 or len(norms_pdf) == 0:
             return pd.DataFrame({"query_id": [], "doc_id": [], "score": []})
-        nrow = norms_pdf.iloc[0]
+        # plain-dict row views over numpy columns: pandas
+        # to_dict("records") / .iloc chains were ~half the kernel wall
+        # for small chunks (profiled), and this kernel runs once per
+        # chunk on BOTH the executor and driver fast paths
+        nrow = {
+            c: norms_pdf[c].to_numpy()[0] for c in norms_pdf.columns
+        }
         base = int(nrow["base_doc"])
         dls = np.frombuffer(nrow["dl_bytes"], dtype=np.int32)
         n_slots = len(dls)
@@ -188,9 +200,12 @@ def _query_kernel(
         if empty:
             return pd.DataFrame({"query_id": [], "doc_id": [], "score": []})
 
+        cols = {c: post_pdf[c].to_numpy() for c in _POST_COLS}
         by_term: dict[str, list[dict]] = {}
-        for r in post_pdf.to_dict("records"):
-            by_term.setdefault(r["term"], []).append(r)
+        for i in range(len(post_pdf)):
+            by_term.setdefault(cols["term"][i], []).append(
+                {c: cols[c][i] for c in _POST_COLS}
+            )
         decode_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         m_terms = m_total = m_decoded = m_skipped = m_cand = 0
 
