@@ -113,8 +113,11 @@ def verify_index(
 
     # V2: df conservation per chunk (merge is pure concat — postings
     # counts are invariant), skipping compaction-rebuilt chunks whose
-    # build-layer history intentionally no longer matches.
-    overridden = set(store._overridden_chunks(stats))
+    # build-layer history intentionally no longer matches (tracked in
+    # chunk_overrides while live, rebuilt_chunks after a fold).
+    overridden = set(store._overridden_chunks(stats)) | {
+        int(c) for c in stats.get("rebuilt_chunks", [])
+    }
     build_df = (
         segs.withColumn("chunk_id", (F.col("seg_group") / spc).cast("long"))
         .groupBy("chunk_id")

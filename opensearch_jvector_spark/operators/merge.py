@@ -403,6 +403,92 @@ def write_merged_delta(
     store.publish_delta(name)
 
 
+def fold_deltas(spark: SparkSession, store: IndexStore) -> dict:
+    """Force-merge analog (M6): fold the base + every visible delta +
+    override into ONE compacted delta, then retire the originals. The
+    reference's ForceMergesOnlyMergePolicy gives the driver explicit
+    control of when segments collapse (ForceMergesOnlyMergePolicy.java:
+    22-99); here the driver calls fold_deltas when the delta count
+    makes per-query directory fan-out noticeable.
+
+    Visible rows are ALREADY merged (chunk-disjoint), so folding never
+    re-encodes: it re-partitions the rows into the bucket-aligned
+    layout and rewrites them once. Visibility flips in the single
+    stats.json swap (deltas=[folded], chunk_overrides={},
+    base_retired=true); the dead base/delta files are GC'd after the
+    swap, so a crash at any point leaves a consistent snapshot."""
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    stats, config = store.read_stats()
+    if (
+        len(stats.get("deltas", [])) <= 1
+        and not stats.get("chunk_overrides")
+        and stats.get("base_retired")
+    ):
+        return stats  # already a single folded layer
+    name = f"folded_{int(stats.get('fold_seq', 0)):04d}"
+    t0 = _time.perf_counter()
+    if not _os.path.isdir(store.delta_path(name)):
+        stage = store.delta_stage_path(name)
+        _shutil.rmtree(stage, ignore_errors=True)
+        rows = store.read_postings(spark, stats)
+        shuffle_parts = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "64")
+        )
+        s = max(1, shuffle_parts // config.term_buckets)
+        pid = (
+            term_bucket_col(F.col("term"), config.term_buckets).cast("long") * s
+            + F.pmod(F.col("chunk_id"), F.lit(s))
+        )
+        (
+            rows.withColumn(
+                "term_bucket",
+                term_bucket_col(F.col("term"), config.term_buckets),
+            )
+            .withColumn("_pid", pid)
+            .repartitionByRange(config.term_buckets * s, "_pid")
+            .drop("_pid")
+            .sortWithinPartitions("term", "chunk_id", "slice")
+            .write.mode("overwrite")
+            .partitionBy("term_bucket")
+            .parquet(_os.path.join(stage, "postings"))
+        )
+        store.read_norms(spark, stats).write.mode("overwrite").parquet(
+            _os.path.join(stage, "norms")
+        )
+        store.publish_delta(name)
+
+    old_deltas = set(stats.get("deltas", [])) | set(
+        stats.get("chunk_overrides", {}).values()
+    )
+    base_was_live = not stats.get("base_retired")
+    # compaction-rebuilt chunks stay on record: the integrity checker's
+    # df-conservation invariant must keep excluding them after the
+    # override mapping is folded away
+    stats["rebuilt_chunks"] = sorted(
+        set(stats.get("rebuilt_chunks", []))
+        | {int(c) for c in stats.get("chunk_overrides", {})}
+    )
+    stats["deltas"] = [name]
+    stats["chunk_overrides"] = {}
+    stats["base_retired"] = True
+    stats["fold_seq"] = int(stats.get("fold_seq", 0)) + 1
+    stats.setdefault("merge_timings", {})["fold_sec"] = round(
+        _time.perf_counter() - t0, 3
+    )
+    store.write_stats(stats, config)
+    # GC: everything the new snapshot no longer references
+    for d in old_deltas - {name}:
+        _shutil.rmtree(store.delta_path(d), ignore_errors=True)
+    if base_was_live:
+        _shutil.rmtree(store.postings_path, ignore_errors=True)
+        _shutil.rmtree(store.norms_path, ignore_errors=True)
+    store.invalidate()
+    return stats
+
+
 def merge_segments(
     spark: SparkSession, store: IndexStore, config: EngineConfig = DEFAULT_CONFIG
 ) -> dict:

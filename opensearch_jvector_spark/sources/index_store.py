@@ -280,8 +280,11 @@ class IndexStore:
     # ---- visibility: which directories a reader scans ----
     def _posting_sources(self, stats: dict) -> tuple[list[str], list[str]]:
         """(normal_prefixes, override_prefixes): normal rows must drop
-        overridden chunk_ids; override rows replace those chunks."""
-        normal = [self.postings_path]
+        overridden chunk_ids; override rows replace those chunks.
+        ``base_retired`` (set by fold_deltas, the force-merge analog)
+        removes the original base directories from the read set — their
+        rows live on in the folded delta."""
+        normal = [] if stats.get("base_retired") else [self.postings_path]
         for name in stats.get("deltas", []):
             normal.append(os.path.join(self.delta_path(name), "postings"))
         override = [
@@ -291,7 +294,7 @@ class IndexStore:
         return normal, override
 
     def _norms_sources(self, stats: dict) -> tuple[list[str], list[str]]:
-        normal = [self.norms_path]
+        normal = [] if stats.get("base_retired") else [self.norms_path]
         for name in stats.get("deltas", []):
             normal.append(os.path.join(self.delta_path(name), "norms"))
         override = [
@@ -326,7 +329,10 @@ class IndexStore:
             stats, _ = self.read_stats()
         normal, override = self._posting_sources(stats)
         n_paths = self._leaf_bucket_dirs(normal)
-        df = spark.read.schema(QUERY_POSTINGS_SCHEMA).parquet(*n_paths)
+        if n_paths:
+            df = spark.read.schema(QUERY_POSTINGS_SCHEMA).parquet(*n_paths)
+        else:
+            df = spark.createDataFrame([], QUERY_POSTINGS_SCHEMA)
         dead = self._overridden_chunks(stats)
         if dead:
             df = df.filter(~F.col("chunk_id").isin(dead))
@@ -380,7 +386,10 @@ class IndexStore:
             stats, _ = self.read_stats()
         normal, override = self._norms_sources(stats)
         normal = [p for p in normal if os.path.isdir(p)]
-        df = spark.read.schema(CHUNK_NORMS_SCHEMA).parquet(*normal)
+        if normal:
+            df = spark.read.schema(CHUNK_NORMS_SCHEMA).parquet(*normal)
+        else:
+            df = spark.createDataFrame([], CHUNK_NORMS_SCHEMA)
         dead = self._overridden_chunks(stats)
         if dead:
             df = df.filter(~F.col("chunk_id").isin(dead))

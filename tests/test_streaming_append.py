@@ -247,6 +247,44 @@ def test_append_reads_only_new_waves(spark, tmp_path):
     )
 
 
+def test_fold_deltas_force_merge(spark, tmp_path):
+    """Force-merge analog (M6): after several appends (and a delete),
+    fold_deltas collapses base + deltas into one layer; queries,
+    integrity and FURTHER appends are unaffected."""
+    from opensearch_jvector_spark.operators.delete import delete_docs
+    from opensearch_jvector_spark.operators.integrity import verify_index
+    from opensearch_jvector_spark.operators.merge import fold_deltas
+    from opensearch_jvector_spark.sources.index_store import IndexStore
+
+    root = str(tmp_path / "idx")
+    base = assign_doc_ids(_batch(spark, 20, seed=1)).select("doc_id", "text")
+    build_index(spark, base, root, CFG)
+    store = IndexStore(root)
+    a1, a2 = _batch(spark, 6, seed=21), _batch(spark, 5, seed=22)
+    append_index(spark, store, a1, batch_tag="f1")
+    append_index(spark, store, a2, batch_tag="f2")
+    delete_docs(spark, store, [2, 3], batch_tag="fd")
+
+    before = [tuple(r) for r in bm25_topk(spark, store, TERMS, 10).collect()]
+    stats = fold_deltas(spark, store)
+    assert stats["base_retired"] and len(stats["deltas"]) == 1
+    assert not os.path.exists(store.postings_path)
+    after = [tuple(r) for r in bm25_topk(spark, store, TERMS, 10).collect()]
+    assert after == before
+    assert verify_index(spark, store)["ok"]
+    # folding is idempotent / cheap no-op when already folded
+    stats2 = fold_deltas(spark, store)
+    assert stats2["deltas"] == stats["deltas"]
+
+    # appends keep working on the folded store
+    s3 = append_index(spark, store, _batch(spark, 4, seed=23), batch_tag="f3")
+    assert s3["n_docs"] == (20 + 6 + 5 + 4) * 5
+    assert len(s3["deltas"]) == 2
+    got = bm25_topk(spark, store, TERMS, 10).collect()
+    assert len(got) == 10
+    assert verify_index(spark, store)["ok"]
+
+
 def test_stream_append_foreachbatch(spark, tmp_path):
     """Structured Streaming file source -> foreachBatch incremental
     appends; final index answers match brute force over everything."""
