@@ -68,6 +68,11 @@ def delete_docs(
     stats, config = store.read_stats()
     name = batch_tag or f"tomb_{len(stats['tombstone_batches'])}"
     path = store.tombstone_path(name)
+    if os.path.isdir(path) and name not in stats["tombstone_batches"]:
+        # stale leftover: a crashed compact_deletes GC can leave an
+        # auto-named dir with the OLD batch's doc_ids — reusing it would
+        # silently delete the wrong documents (round-2 ADVICE)
+        shutil.rmtree(path, ignore_errors=True)
     if not os.path.isdir(path):
         _as_id_df(spark, doc_ids).write.mode("errorifexists").parquet(path)
     if name not in stats["tombstone_batches"]:
@@ -133,13 +138,20 @@ def compact_deletes(
         F.sum("df").cast("long").alias("df")
     )
 
-    # ---- rebuild the affected chunks from source, minus tombstones
+    # ---- rebuild the affected chunks from source, minus tombstones AND
+    # minus docs purged by EARLIER compactions of these chunks (Lucene
+    # liveDocs semantics: a doc deleted in a past merge round must not
+    # resurrect when its chunk rebuilds again — the ledger read is
+    # pruned to the affected chunks)
     chunk_col = (F.col("doc_id") / dpc).cast("long")
     sub = (
         docs.select("doc_id", "text")
         .filter(chunk_col.isin(affected))
         .join(tombs, "doc_id", "left_anti")
     )
+    prior_purged = store.read_purged(spark, stats, affected)
+    if prior_purged is not None:
+        sub = sub.join(prior_purged, "doc_id", "left_anti")
     build = build_segments_df(
         sub, config, lineage=name, layout="ranged"
     ).persist()
@@ -180,6 +192,20 @@ def compact_deletes(
     )
     dict_seq, _ = store.write_dictionary(merged_dict, config, covers=name)
     build.unpersist()
+
+    # 2b) purged-ledger batch: the ids this compaction removes, keyed by
+    #     chunk — future compactions of these chunks must keep excluding
+    #     them (content is deterministic from the tombstones, so a crash
+    #     retry reuses the directory)
+    if not os.path.isdir(store.purged_batch_path(name)):
+        (
+            tombs.select(
+                (F.col("doc_id") / dpc).cast("long").alias("chunk_id"),
+                "doc_id",
+            )
+            .write.mode("errorifexists")
+            .parquet(store.purged_batch_path(name))
+        )
 
     # 3) stats swap — the single visibility point
     overrides = dict(stats.get("chunk_overrides", {}))
@@ -228,6 +254,8 @@ def compact_deletes(
     stats["dict_version"] = dict_seq
     cleared = stats["tombstone_batches"]
     stats["tombstone_batches"] = []
+    if name not in stats.setdefault("purged_batches", []):
+        stats["purged_batches"].append(name)
     store.write_stats(stats, config)
 
     # 4) GC: tombstones are folded in; superseded override deltas and

@@ -417,6 +417,8 @@ def fold_deltas(spark: SparkSession, store: IndexStore) -> dict:
     stats.json swap (deltas=[folded], chunk_overrides={},
     base_retired=true); the dead base/delta files are GC'd after the
     swap, so a crash at any point leaves a consistent snapshot."""
+    import hashlib as _hashlib
+    import json as _json
     import os as _os
     import shutil as _shutil
     import time as _time
@@ -428,7 +430,20 @@ def fold_deltas(spark: SparkSession, store: IndexStore) -> dict:
         and stats.get("base_retired")
     ):
         return stats  # already a single folded layer
-    name = f"folded_{int(stats.get('fold_seq', 0)):04d}"
+    # the folded delta's CONTENT is a function of the visible state at
+    # fold time, so its NAME must be too: a bare fold_seq name could be
+    # reused by a retried fold after a crash-then-append interleaving,
+    # silently dropping the new delta's rows (round-2 ADVICE)
+    visible = _hashlib.sha256(
+        _json.dumps(
+            [
+                sorted(stats.get("deltas", [])),
+                sorted(stats.get("chunk_overrides", {}).items()),
+                bool(stats.get("base_retired")),
+            ]
+        ).encode()
+    ).hexdigest()[:12]
+    name = f"folded_{visible}"
     t0 = _time.perf_counter()
     if not _os.path.isdir(store.delta_path(name)):
         stage = store.delta_stage_path(name)

@@ -167,6 +167,7 @@ class IndexStore:
         stats.setdefault("deltas", [])
         stats.setdefault("chunk_overrides", {})
         stats.setdefault("tombstone_batches", [])
+        stats.setdefault("purged_batches", [])
         payload = {
             "format": STORE_FORMAT,
             "stats": stats,
@@ -189,6 +190,7 @@ class IndexStore:
         stats.setdefault("deltas", [])
         stats.setdefault("chunk_overrides", {})
         stats.setdefault("tombstone_batches", [])
+        stats.setdefault("purged_batches", [])
         return stats, EngineConfig(**payload["config"])
 
     def format_ok(self) -> bool:
@@ -278,9 +280,25 @@ class IndexStore:
                               ignore_errors=True)
 
     # ---- visibility: which directories a reader scans ----
-    def _posting_sources(self, stats: dict) -> tuple[list[str], list[str]]:
-        """(normal_prefixes, override_prefixes): normal rows must drop
-        overridden chunk_ids; override rows replace those chunks.
+    @staticmethod
+    def _override_owners(stats: dict) -> dict[str, list[int]]:
+        """delta name -> the chunk_ids the CURRENT snapshot maps to it.
+        A compaction delta can be partially superseded by a later
+        compaction of an overlapping chunk set (compact_A rebuilds
+        {1,2}, compact_B rebuilds {2} -> overrides {1:A, 2:B}); A's
+        chunk-2 rows are then STALE and must never be read, so every
+        override source is scoped to its owned chunks."""
+        owned: dict[str, list[int]] = {}
+        for chunk, name in stats.get("chunk_overrides", {}).items():
+            owned.setdefault(name, []).append(int(chunk))
+        return {n: sorted(cs) for n, cs in owned.items()}
+
+    def _posting_sources(
+        self, stats: dict
+    ) -> tuple[list[str], list[tuple[str, list[int]]]]:
+        """(normal_prefixes, [(override_prefix, owned_chunk_ids), ...]):
+        normal rows must drop overridden chunk_ids; each override source
+        contributes ONLY the chunks the snapshot currently maps to it.
         ``base_retired`` (set by fold_deltas, the force-merge analog)
         removes the original base directories from the read set — their
         rows live on in the folded delta."""
@@ -288,18 +306,20 @@ class IndexStore:
         for name in stats.get("deltas", []):
             normal.append(os.path.join(self.delta_path(name), "postings"))
         override = [
-            os.path.join(self.delta_path(name), "postings")
-            for name in set(stats.get("chunk_overrides", {}).values())
+            (os.path.join(self.delta_path(name), "postings"), chunks)
+            for name, chunks in sorted(self._override_owners(stats).items())
         ]
         return normal, override
 
-    def _norms_sources(self, stats: dict) -> tuple[list[str], list[str]]:
+    def _norms_sources(
+        self, stats: dict
+    ) -> tuple[list[str], list[tuple[str, list[int]]]]:
         normal = [] if stats.get("base_retired") else [self.norms_path]
         for name in stats.get("deltas", []):
             normal.append(os.path.join(self.delta_path(name), "norms"))
         override = [
-            os.path.join(self.delta_path(name), "norms")
-            for name in set(stats.get("chunk_overrides", {}).values())
+            (os.path.join(self.delta_path(name), "norms"), chunks)
+            for name, chunks in sorted(self._override_owners(stats).items())
         ]
         return normal, override
 
@@ -323,6 +343,38 @@ class IndexStore:
                     out.append(fp)
         return out
 
+    def _read_override_union(
+        self,
+        spark: SparkSession,
+        override: list[tuple[str, list[int]]],
+        schema: str,
+        buckets: list[int] | None = None,
+    ) -> DataFrame | None:
+        """Union of all override sources, each scoped to its OWNED
+        chunks (a later compaction may have superseded part of an older
+        override delta — its stale rows must not be read)."""
+        parts = []
+        for prefix, owned in override:
+            if schema is CHUNK_NORMS_SCHEMA:  # norms: flat parquet dir
+                paths = [prefix] if os.path.isdir(prefix) else []
+            elif buckets is None:  # postings, all buckets
+                paths = self._leaf_bucket_dirs([prefix])
+            else:  # postings, pruned to the query terms' buckets
+                paths = _bucket_dirs(prefix, buckets)
+            if not paths:
+                continue
+            parts.append(
+                spark.read.schema(schema)
+                .parquet(*paths)
+                .filter(F.col("chunk_id").isin(owned))
+            )
+        if not parts:
+            return None
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
+
     def read_postings(self, spark: SparkSession, stats: dict | None = None) -> DataFrame:
         """Every visible posting row (all terms) — compaction/audit use."""
         if stats is None:
@@ -336,11 +388,11 @@ class IndexStore:
         dead = self._overridden_chunks(stats)
         if dead:
             df = df.filter(~F.col("chunk_id").isin(dead))
-            ov = self._leaf_bucket_dirs(override)
-            if ov:
-                df = df.unionByName(
-                    spark.read.schema(QUERY_POSTINGS_SCHEMA).parquet(*ov)
-                )
+            ov = self._read_override_union(
+                spark, override, QUERY_POSTINGS_SCHEMA
+            )
+            if ov is not None:
+                df = df.unionByName(ov)
         return df
 
     def read_postings_for_terms(
@@ -360,9 +412,6 @@ class IndexStore:
         buckets = sorted({term_bucket_py(t, config.term_buckets) for t in terms})
         normal, override = self._posting_sources(stats)
         n_paths = [d for p in normal for d in _bucket_dirs(p, buckets)]
-        o_paths = [d for p in override for d in _bucket_dirs(p, buckets)]
-        if not n_paths and not o_paths:
-            return spark.createDataFrame([], QUERY_POSTINGS_SCHEMA)
         dead = self._overridden_chunks(stats)
         parts = []
         if n_paths:
@@ -370,20 +419,30 @@ class IndexStore:
             if dead:
                 df = df.filter(~F.col("chunk_id").isin(dead))
             parts.append(df)
-        if o_paths:
-            parts.append(
-                spark.read.schema(QUERY_POSTINGS_SCHEMA).parquet(*o_paths)
-            )
+        ov = self._read_override_union(
+            spark, override, QUERY_POSTINGS_SCHEMA, buckets
+        )
+        if ov is not None:
+            parts.append(ov)
+        if not parts:
+            return spark.createDataFrame([], QUERY_POSTINGS_SCHEMA)
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
         return df.filter(F.col("term").isin(terms))
 
     def read_norms(self, spark: SparkSession, stats: dict | None = None) -> DataFrame:
-        if self._norms_cache is not None:
-            return self._norms_cache
         if stats is None:
             stats, _ = self.read_stats()
+        # the warm cache is keyed on the snapshot it was built from: a
+        # stats.json updated by another process (or an explicit snapshot
+        # passed by compaction/fold/verify) must never be served stale
+        # norms (round-2 ADVICE)
+        if (
+            self._norms_cache is not None
+            and self._cache_key == self._snapshot_key(stats)
+        ):
+            return self._norms_cache
         normal, override = self._norms_sources(stats)
         normal = [p for p in normal if os.path.isdir(p)]
         if normal:
@@ -393,11 +452,9 @@ class IndexStore:
         dead = self._overridden_chunks(stats)
         if dead:
             df = df.filter(~F.col("chunk_id").isin(dead))
-            ov = [p for p in override if os.path.isdir(p)]
-            if ov:
-                df = df.unionByName(
-                    spark.read.schema(CHUNK_NORMS_SCHEMA).parquet(*ov)
-                )
+            ov = self._read_override_union(spark, override, CHUNK_NORMS_SCHEMA)
+            if ov is not None:
+                df = df.unionByName(ov)
         return df
 
     # ---- dictionary: immutable bucketed versions ----
@@ -505,6 +562,43 @@ class IndexStore:
     def tombstone_path(self, name: str) -> str:
         return os.path.join(self.tombstones_path, name)
 
+    # ---- purged ledger (docs removed by past compactions) ----
+    # Lucene analog: liveDocs carried through merges — a doc deleted in
+    # an earlier merge round never reappears when its segment merges
+    # again. Our compactions rebuild chunks FROM SOURCE text, so without
+    # this ledger a later compaction of the same chunk would resurrect
+    # previously purged docs. Rows are (chunk_id, doc_id); reads are
+    # pruned by a chunk_id pushdown filter, so a compaction touching
+    # K chunks reads O(deletes in those chunks), never the full ledger.
+    @property
+    def purged_path(self) -> str:
+        return os.path.join(self.root, "purged")
+
+    def purged_batch_path(self, name: str) -> str:
+        return os.path.join(self.purged_path, name)
+
+    def read_purged(
+        self,
+        spark: SparkSession,
+        stats: dict | None = None,
+        chunks: list[int] | None = None,
+    ) -> DataFrame | None:
+        """(doc_id long) docs purged by past compactions, optionally
+        restricted to the given chunk_ids; None when empty."""
+        if stats is None:
+            stats, _ = self.read_stats()
+        paths = [
+            self.purged_batch_path(n)
+            for n in stats.get("purged_batches", [])
+        ]
+        paths = [p for p in paths if os.path.isdir(p)]
+        if not paths:
+            return None
+        df = spark.read.schema("chunk_id long, doc_id long").parquet(*paths)
+        if chunks is not None:
+            df = df.filter(F.col("chunk_id").isin(chunks))
+        return df.select("doc_id").distinct()
+
     def read_tombstones(self, spark: SparkSession, stats: dict | None = None) -> DataFrame | None:
         """Visible deleted doc_ids (doc_id long), or None when empty."""
         if stats is None:
@@ -531,6 +625,21 @@ class IndexStore:
     _dict_cache: dict | None = None
     _driver_norms: dict | None = None
     _driver_tombstones = None  # np.ndarray | None
+    _cache_key: str | None = None  # snapshot the caches were built from
+
+    @staticmethod
+    def _snapshot_key(stats: dict) -> str:
+        """Canonical identity of a snapshot's visible state — every warm
+        cache is valid only for the snapshot it was built from."""
+        return json.dumps(
+            [
+                stats.get("deltas", []),
+                sorted(stats.get("chunk_overrides", {}).items()),
+                bool(stats.get("base_retired")),
+                sorted(stats.get("tombstone_batches", [])),
+                stats.get("dict_version"),
+            ]
+        )
 
     def _parquet_files(self, prefixes: list[str]) -> list[str]:
         out = []
@@ -567,9 +676,12 @@ class IndexStore:
         driver_dict_limit: int = 64 << 20,
     ) -> "IndexStore":
         stats, _ = self.read_stats()
+        if self._cache_key != self._snapshot_key(stats):
+            self.invalidate()  # stale caches from an older snapshot
         if self._norms_cache is None:
             self._norms_cache = self.read_norms(spark, stats).persist()
             self._norms_cache.count()
+            self._cache_key = self._snapshot_key(stats)
         if self._dict_cache is None:
             # gate by on-disk footprint BEFORE collecting: at 10^12
             # turns the vocabulary is driver-hostile; term_dfs_for then
@@ -587,15 +699,23 @@ class IndexStore:
             # path; the fit check reads FOOTERS ONLY (ADVICE: the old
             # gate materialized the whole table before deciding)
             normal, override = self._norms_sources(stats)
-            files = self._parquet_files(normal + override)
+            files = self._parquet_files(normal + [p for p, _ in override])
             if files and self._column_bytes(files, "dl_bytes") <= driver_norms_limit:
                 import numpy as np
                 import pyarrow.parquet as pq
 
                 dead = set(self._overridden_chunks(stats))
-                nfiles = self._parquet_files(normal)
+                # (files, excluded_chunks): normal sources drop every
+                # overridden chunk; each override source drops the
+                # chunks it does NOT currently own (stale rows from a
+                # partially superseded compaction delta)
+                sources = [(self._parquet_files(normal), dead)]
+                for prefix, owned in override:
+                    sources.append(
+                        (self._parquet_files([prefix]), dead - set(owned))
+                    )
                 dn: dict = {}
-                for group, fs in (("n", nfiles), ("o", [f for f in files if f not in set(nfiles)])):
+                for fs, excluded in sources:
                     for fp in fs:
                         t = pq.read_table(
                             fp, columns=["chunk_id", "base_doc", "dl_bytes"]
@@ -605,7 +725,7 @@ class IndexStore:
                             t["base_doc"].to_pylist(),
                             t["dl_bytes"].to_pylist(),
                         ):
-                            if group == "n" and int(c) in dead:
+                            if int(c) in excluded:
                                 continue
                             dn[int(c)] = (int(b), np.frombuffer(raw, dtype=np.int32))
                 self._driver_norms = dn
@@ -636,6 +756,7 @@ class IndexStore:
         self._dict_cache = None
         self._driver_norms = None
         self._driver_tombstones = None
+        self._cache_key = None
 
     def read_postings_arrow(
         self, terms: list[str], config: EngineConfig, stats: dict | None = None
@@ -654,9 +775,6 @@ class IndexStore:
         n_files = self._parquet_files(
             [d for p in normal for d in _bucket_dirs(p, buckets)]
         )
-        o_files = self._parquet_files(
-            [d for p in override for d in _bucket_dirs(p, buckets)]
-        )
         dead = set(self._overridden_chunks(stats))
         tables = []
         if n_files:
@@ -666,12 +784,15 @@ class IndexStore:
             tables.append(
                 pads.dataset(n_files, format="parquet").to_table(filter=flt)
             )
-        if o_files:
-            tables.append(
-                pads.dataset(o_files, format="parquet").to_table(
-                    filter=pads.field("term").isin(terms)
+        for prefix, owned in override:
+            o_files = self._parquet_files(_bucket_dirs(prefix, buckets))
+            if o_files:
+                tables.append(
+                    pads.dataset(o_files, format="parquet").to_table(
+                        filter=pads.field("term").isin(terms)
+                        & pads.field("chunk_id").isin(owned)
+                    )
                 )
-            )
         tables = [t for t in tables if t.num_rows]
         if not tables:
             return None

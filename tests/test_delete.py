@@ -175,6 +175,127 @@ def test_compact_is_crash_idempotent(spark, corpus, tmp_path):
     ]
 
 
+def test_sequential_overlapping_compactions(spark, corpus, tmp_path):
+    """Two compactions whose affected chunk sets OVERLAP: compact_A
+    rebuilds chunks {0,1}, compact_B later rebuilds {1}. A stays
+    referenced for chunk 0, so readers must take chunk-0 rows from A
+    but chunk-1 rows ONLY from B — round-2 ADVICE found every read
+    path unioning A's stale chunk-1 rows in (double-added BM25 scores,
+    resurrected deleted docs)."""
+    root = str(tmp_path / "idx")
+    build_index(spark, corpus, root, CFG)
+    store = IndexStore(root)
+    dpc = CFG.docs_per_chunk  # 64: chunk0=0..63, chunk1=64..127, ...
+
+    # round A: delete one doc in chunk 0 and one in chunk 1
+    del_a = [5, 70]
+    delete_docs(spark, store, del_a, batch_tag="a")
+    stats = compact_deletes(spark, store, corpus)
+    assert set(stats["chunk_overrides"]) == {"0", "1"}
+    name_a = stats["chunk_overrides"]["1"]
+
+    # round B: delete another doc in chunk 1 ONLY
+    del_b = [100]
+    delete_docs(spark, store, del_b, batch_tag="b")
+    stats = compact_deletes(spark, store, corpus)
+    assert stats["chunk_overrides"]["1"] != name_a  # B owns chunk 1
+    assert stats["chunk_overrides"]["0"] == name_a  # A still owns chunk 0
+
+    deleted = set(del_a) | set(del_b)
+    remaining = corpus.filter(~F.col("doc_id").isin(list(deleted)))
+
+    # no duplicate postings: every (term, chunk_id, slice) visible once
+    dup = (
+        store.read_postings(spark)
+        .groupBy("term", "chunk_id", "slice")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0
+    # norms: exactly one row per chunk, correct doc accounting
+    norms = store.read_norms(spark).collect()
+    assert len({r.chunk_id for r in norms}) == len(norms)
+    assert sum(r.n_docs for r in norms) == remaining.count()
+
+    # queries match brute force over the remaining corpus — cold...
+    exp = [
+        (r.doc_id, round(r.score, 6))
+        for r in bm25_topk_bruteforce(remaining, TERMS, 10).collect()
+    ]
+    got = [
+        (r.doc_id, round(r.score, 6))
+        for r in bm25_topk(spark, store, TERMS, 10).collect()
+    ]
+    assert got == exp
+    # ...and on the warmed driver fast path
+    store.invalidate()
+    store.warm(spark)
+    got_w = [
+        (r.doc_id, round(r.score, 6))
+        for r in bm25_topk(spark, store, TERMS, 10).collect()
+    ]
+    assert got_w == exp
+
+    # stats equal a fresh build over the remaining docs
+    root_f = str(tmp_path / "fresh")
+    build_index(spark, remaining, root_f, CFG)
+    fresh, _ = IndexStore(root_f).read_stats()
+    for key in ("n_docs", "sum_dl", "n_terms", "n_postings", "max_df"):
+        assert stats[key] == fresh[key], key
+
+
+def test_fold_after_crash_and_new_compaction(spark, corpus, tmp_path):
+    """A fold that crashes between publish_delta and the stats swap,
+    followed by ANOTHER state change (a new compaction), then a fold
+    retry: the retried fold must NOT reuse the stale folded directory
+    (its content predates the new state). The fold name is a digest of
+    the visible state, so the retry folds fresh (round-2 ADVICE)."""
+    from opensearch_jvector_spark.operators.merge import fold_deltas
+
+    root = str(tmp_path / "idx")
+    build_index(spark, corpus, root, CFG)
+    store = IndexStore(root)
+    delete_docs(spark, store, [5, 70], batch_tag="a")
+    compact_deletes(spark, store, corpus)
+
+    # crash the fold after the folded delta publishes but before the
+    # stats swap: blow up write_stats once
+    real_write = store.write_stats
+    calls = {"n": 0}
+
+    def boom(stats, config):
+        calls["n"] += 1
+        raise RuntimeError("simulated crash before stats swap")
+
+    store.write_stats = boom
+    try:
+        with pytest.raises(RuntimeError):
+            fold_deltas(spark, store)
+    finally:
+        store.write_stats = real_write
+    assert calls["n"] == 1
+    store.invalidate()
+
+    # the world moves on: a second compaction changes the visible state
+    delete_docs(spark, store, [100], batch_tag="b")
+    compact_deletes(spark, store, corpus)
+
+    # retried fold must include the post-crash state
+    stats = fold_deltas(spark, store)
+    assert stats["base_retired"] and not stats["chunk_overrides"]
+    remaining = corpus.filter(~F.col("doc_id").isin([5, 70, 100]))
+    exp = [
+        (r.doc_id, round(r.score, 6))
+        for r in bm25_topk_bruteforce(remaining, TERMS, 10).collect()
+    ]
+    got = [
+        (r.doc_id, round(r.score, 6))
+        for r in bm25_topk(spark, store, TERMS, 10).collect()
+    ]
+    assert got == exp
+
+
 def test_pruning_metrics_blocks_skipped(spark, tmp_path):
     """The whole point of block-max MaxScore (Q3): on a skewed corpus a
     multi-term query must SKIP blocks, and the counters prove it —
