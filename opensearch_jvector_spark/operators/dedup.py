@@ -13,6 +13,8 @@ so DuckDB oracles reproduce results bit-for-bit.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -163,7 +165,7 @@ def dedup_minhash_lsh(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) candidate pairs sharing >=1 LSH band,
     verified with exact shingle Jaccard >= threshold.
@@ -286,7 +288,7 @@ def dedup_simhash(
     bits: int = 32,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """(doc_a, doc_b, hamming) — ALL pairs with simhash hamming distance
     <= max_hamming (exact w.r.t. the fingerprint, not a heuristic):
@@ -332,19 +334,17 @@ def dedup_simhash(
 
 def hyperplane_weights(
     n_planes: int = 64, dim: int = 64, seed: int = 12345
-) -> list[list[float]]:
+):
     """Deterministic Rademacher (+-1) hyperplanes for sign-LSH over
     embeddings — the random-projection family whose collision
-    probability is 1 - angle/pi per plane."""
-    import numpy as np
-
+    probability is 1 - angle/pi per plane. numpy (n_planes, dim)."""
     rng = np.random.RandomState(seed)
-    return rng.choice([-1.0, 1.0], size=(n_planes, dim)).tolist()
+    return rng.choice([-1.0, 1.0], size=(n_planes, dim))
 
 
 def hyperplane_bands(
     embeddings: DataFrame,
-    dim: int,
+    dim: int | None = None,
     n_planes: int = 64,
     rows_per_band: int = 2,
     seed: int = 12345,
@@ -352,32 +352,44 @@ def hyperplane_bands(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(vid, band, bk) sign-LSH band keys: each band packs
-    ``rows_per_band`` hyperplane sign bits. ONE scan of the corpus —
-    every dot product is a Catalyst expression over literal weight
-    arrays (no join, no UDF); the n_planes/rows_per_band trade sets the
-    recall floor (32 bands x 2 planes measured 100% recall at
+    ``rows_per_band`` hyperplane sign bits. ONE scan of the corpus;
+    signatures come from one float64 MATMUL per Arrow batch inside a
+    vectorized pandas UDF — the weight matrix is (re)generated
+    deterministically per worker from (seed, n_planes, dim), so the
+    PLAN is constant-size at any dimension (round 2 inlined n_planes x
+    dim literal arrays into Catalyst: 4k nodes at dim 64, ~100k at dim
+    1536). ``dim``, when given, is validated against the data and a
+    mismatch RAISES (round-2 ADVICE: a silent mismatch nulled every
+    band key and dedup returned zero pairs); when None the dimension
+    is derived from the batch. The n_planes/rows_per_band trade sets
+    the recall floor (32 bands x 2 planes measured 100% recall at
     threshold 0.4 on the sf0.001/0.01/0.1 corpora)."""
-    planes = hyperplane_weights(n_planes, dim, seed)
+    import numpy as np
+    import pandas as pd
+
+    n_bands = n_planes // rows_per_band
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     e = embeddings.select(F.col(id_col).alias("vid"), v.alias("v"))
 
-    def dot_lit(w: list[float]):
-        arr = F.array(*[F.lit(float(x)) for x in w])
-        return F.aggregate(
-            F.zip_with(F.col("v"), arr, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    n_bands = n_planes // rows_per_band
-    keys = []
-    for b in range(n_bands):
-        key = F.lit(0)
+    @F.pandas_udf("array<int>")
+    def keys_of(vs: pd.Series) -> pd.Series:
+        M = np.stack([np.asarray(x, dtype=np.float64) for x in vs])
+        d = M.shape[1]
+        if dim is not None and d != dim:
+            raise ValueError(
+                f"embedding dimension {d} != declared dim {dim}"
+            )
+        W = hyperplane_weights(n_planes, d, seed)
+        bits = (M @ W.T >= 0).astype(np.int32)  # (b, n_planes)
+        bits = bits.reshape(len(M), n_bands, rows_per_band)
+        keys = np.zeros((len(M), n_bands), dtype=np.int32)
         for p in range(rows_per_band):
-            bit = (dot_lit(planes[b * rows_per_band + p]) >= 0).cast("int")
-            key = key + F.shiftleft(bit, p)
-        keys.append(key)
-    return e.select("vid", F.posexplode(F.array(*keys)).alias("band", "bk"))
+            keys += bits[:, :, p] << p
+        return pd.Series(list(keys))
+
+    return e.select(
+        "vid", F.posexplode(keys_of(F.col("v"))).alias("band", "bk")
+    )
 
 
 def dedup_embedding_cosine(
@@ -387,11 +399,11 @@ def dedup_embedding_cosine(
     vec_col: str = "embedding",
     max_id: int | None = None,
     method: str = "lsh",
-    dim: int = 64,
+    dim: int | None = None,
     n_planes: int = 64,
     rows_per_band: int = 2,
     seed: int = 12345,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """(vec_a, vec_b, cos) embedding near-dup pairs, cosine >= threshold.
 

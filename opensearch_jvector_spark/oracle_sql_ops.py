@@ -169,31 +169,146 @@ SELECT vec_id, round(cos, 6) AS cos, rank FROM (
   FROM ne CROSS JOIN q) WHERE rank <= {k}"""
 
 
+def topk_space_sql(query_vec_id: int, k: int, space: str) -> str:
+    """Brute-force top-k under a non-cosine similarity space, with the
+    reference's score translation (SpaceType.java:43-161:
+    l2/l1/linf -> 1/(1+distance); innerproduct -> ip>=0 ? ip+1 :
+    1/(1-ip))."""
+    if space == "l2":
+        expr = (
+            "1.0 / (1.0 + list_sum(list_transform(list_zip(v, qv), "
+            "p -> (p[1] - p[2]) * (p[1] - p[2]))))"
+        )
+    elif space == "l1":
+        expr = (
+            "1.0 / (1.0 + list_sum(list_transform(list_zip(v, qv), "
+            "p -> abs(p[1] - p[2]))))"
+        )
+    elif space == "linf":
+        expr = (
+            "1.0 / (1.0 + list_max(list_transform(list_zip(v, qv), "
+            "p -> abs(p[1] - p[2]))))"
+        )
+    elif space == "innerproduct":
+        expr = (
+            "CASE WHEN list_dot_product(v, qv) >= 0 "
+            "THEN list_dot_product(v, qv) + 1 "
+            "ELSE 1.0 / (1.0 - list_dot_product(v, qv)) END"
+        )
+    else:
+        raise ValueError(f"unsupported oracle space {space!r}")
+    return f"""WITH {_EMB},
+q AS (SELECT v AS qv FROM ne WHERE vec_id = {query_vec_id})
+SELECT vec_id, round(score, 6) AS score, rank FROM (
+  SELECT vec_id, {expr} AS score,
+         row_number() OVER (ORDER BY {expr} DESC, vec_id ASC)::INTEGER AS rank
+  FROM ne CROSS JOIN q) WHERE rank <= {k}"""
+
+
+# one Lloyd iteration on the first-N seed centroids: assign by argmax
+# cosine, re-center on the mean of unit vectors, empty cells keep their
+# seed — mirrors similarity._kmeans_refine exactly (zero-norm vectors
+# contribute a zero unit vector and still count)
+def _ivf_cents_cte(n_centroids: int, kmeans_iters: int) -> str:
+    if kmeans_iters == 0:
+        return (
+            f"nc AS (SELECT vec_id AS cell, v AS c, norm AS cn FROM ne "
+            f"WHERE vec_id < {n_centroids})"
+        )
+    if kmeans_iters != 1:
+        raise ValueError("oracle supports kmeans_iters in (0, 1)")
+    return f"""c0 AS (SELECT vec_id AS cell, v AS c, norm AS cn FROM ne
+      WHERE vec_id < {n_centroids}),
+a0 AS (SELECT vec_id, cell FROM (
+    SELECT ne.vec_id, c0.cell,
+           row_number() OVER (PARTITION BY ne.vec_id
+             ORDER BY list_dot_product(ne.v, c0.c) / (ne.norm * c0.cn) DESC,
+                      c0.cell ASC) AS rn
+    FROM ne CROSS JOIN c0) WHERE rn = 1),
+u AS (SELECT vec_id,
+             CASE WHEN norm = 0 THEN list_transform(v, x -> 0.0)
+                  ELSE list_transform(v, x -> x / norm) END AS uv FROM ne),
+flat AS (SELECT a0.cell AS cell, unnest(u.uv) AS val,
+                generate_subscripts(u.uv, 1) AS i
+         FROM a0 JOIN u USING (vec_id)),
+m AS (SELECT cell, i, sum(val) / count(*) AS mv FROM flat GROUP BY cell, i),
+mc AS (SELECT cell, list(mv ORDER BY i) AS c FROM m GROUP BY cell),
+cents AS (SELECT c0.cell, COALESCE(mc.c, c0.c) AS c
+          FROM c0 LEFT JOIN mc USING (cell)),
+nc AS (SELECT cell, c, sqrt(list_dot_product(c, c)) AS cn FROM cents)"""
+
+
 def cosine_topk_ivf_sql(
-    query_vec_id: int, k: int, n_centroids: int = 16, n_probe: int = 4
+    query_vec_id: int,
+    k: int,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    kmeans_iters: int = 1,
 ) -> str:
     return f"""WITH {_EMB},
 q AS (SELECT v AS qv, norm AS qn FROM ne WHERE vec_id = {query_vec_id}),
-cents AS (SELECT vec_id AS cell, v AS c, norm AS cn FROM ne
-          WHERE vec_id < {n_centroids}),
+{_ivf_cents_cte(n_centroids, kmeans_iters)},
 probe AS (
-  SELECT cell FROM cents CROSS JOIN q
+  SELECT cell FROM nc CROSS JOIN q
   ORDER BY list_dot_product(c, qv) / (cn * qn) DESC, cell ASC
   LIMIT {n_probe}),
 assign AS (
   SELECT vec_id, cell FROM (
-    SELECT ne.vec_id, cents.cell,
+    SELECT ne.vec_id, nc.cell,
            row_number() OVER (
              PARTITION BY ne.vec_id
-             ORDER BY list_dot_product(ne.v, cents.c) / (ne.norm * cents.cn) DESC,
-                      cents.cell ASC) AS rn
-    FROM ne CROSS JOIN cents) WHERE rn = 1),
+             ORDER BY list_dot_product(ne.v, nc.c) / (ne.norm * nc.cn) DESC,
+                      nc.cell ASC) AS rn
+    FROM ne CROSS JOIN nc) WHERE rn = 1),
 cand AS (SELECT vec_id FROM assign JOIN probe USING (cell))
 SELECT vec_id, round(cos, 6) AS cos, rank FROM (
   SELECT ne.vec_id, list_dot_product(v, qv) / (norm * qn) AS cos,
          row_number() OVER (ORDER BY list_dot_product(v, qv) / (norm * qn) DESC,
                             ne.vec_id ASC)::INTEGER AS rank
   FROM ne JOIN cand USING (vec_id) CROSS JOIN q) WHERE rank <= {k}"""
+
+
+def cosine_topk_ivf_batch_sql(
+    query_vec_ids: list[int],
+    k: int,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    kmeans_iters: int = 1,
+) -> str:
+    """Oracle for the one-job BATCH IVF query: per-query probe over the
+    same refined centroids, per-query top-k — the engine must be
+    rank-identical per query_id."""
+    vals = ", ".join(f"('q{i}', {v})" for i, v in enumerate(query_vec_ids))
+    return f"""WITH {_EMB},
+qs(query_id, qid) AS (VALUES {vals}),
+q AS (SELECT qs.query_id, ne.v AS qv, ne.norm AS qn
+      FROM qs JOIN ne ON ne.vec_id = qs.qid),
+{_ivf_cents_cte(n_centroids, kmeans_iters)},
+probe AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, nc.cell,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY list_dot_product(nc.c, q.qv) / (nc.cn * q.qn) DESC,
+                      nc.cell ASC) AS rn
+    FROM nc CROSS JOIN q) WHERE rn <= {n_probe}),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT ne.vec_id, nc.cell,
+           row_number() OVER (
+             PARTITION BY ne.vec_id
+             ORDER BY list_dot_product(ne.v, nc.c) / (ne.norm * nc.cn) DESC,
+                      nc.cell ASC) AS rn
+    FROM ne CROSS JOIN nc) WHERE rn = 1),
+cand AS (SELECT probe.query_id, assign.vec_id
+         FROM assign JOIN probe USING (cell))
+SELECT query_id, vec_id, round(cos, 6) AS cos, rank FROM (
+  SELECT cand.query_id, ne.vec_id,
+         list_dot_product(ne.v, q.qv) / (ne.norm * q.qn) AS cos,
+         row_number() OVER (PARTITION BY cand.query_id
+           ORDER BY list_dot_product(ne.v, q.qv) / (ne.norm * q.qn) DESC,
+                    ne.vec_id ASC)::INTEGER AS rank
+  FROM cand JOIN ne USING (vec_id) JOIN q ON q.query_id = cand.query_id)
+WHERE rank <= {k}"""
 
 
 def _in_list(words) -> str:
