@@ -624,6 +624,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "media_metadata": osops.media_metadata_sql(_N_MEDIA),
         "media_frame_sample": osops.media_frame_sample_sql(_N_MEDIA, every=2),
-        # media_features intentionally has no oracle_sql: the oracle
-        # would need to parse binary blobs (rows-only check applies)
+        # the OJSM generator is deterministic -> the expected means are
+        # recomputed independently (pure-python splitmix64) and pinned;
+        # round 2 left this entry rows-only
+        "media_features": osops.media_features_sql(_N_MEDIA),
     }

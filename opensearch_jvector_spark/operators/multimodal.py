@@ -153,9 +153,11 @@ def media_metadata(media: DataFrame, payload_col: str = "payload",
 
 def _decode(raw: bytes) -> tuple[dict, np.ndarray]:
     """Decode one blob to (meta, frames[fr, h, w, c]). Formats: OJSM
-    always; JPEG when Pillow is importable (real-format decode is
-    import-gated — Pillow is absent in the hermetic test container, so
-    the JPEG branch is exercised by a skipif-gated pytest)."""
+    always; RIFF/WAVE PCM via the stdlib ``wave`` module (always
+    available — real audio decode, round-tripped by a pytest); JPEG
+    when Pillow is importable (import-gated — Pillow is absent in the
+    hermetic test container, so the JPEG branch is exercised by a
+    skipif-gated pytest)."""
     if raw[:2] == b"\xff\xd8":  # JPEG SOI
         if not HAVE_PIL:
             raise NotImplementedError(
@@ -172,17 +174,47 @@ def _decode(raw: bytes) -> tuple[dict, np.ndarray]:
         meta = {"modality": 0, "width": w, "height": h, "channels": c,
                 "n_frames": 1}
         return meta, np.ascontiguousarray(arr).reshape(1, h, w, c)
+    if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+        return _decode_wav(raw)
     magic, mod, w, h, c, fr = struct.unpack_from(_HEADER_FMT, raw, 0)
     if magic != MAGIC:
         raise NotImplementedError(
-            "unrecognized media container (supported: OJSM always, JPEG "
-            "via Pillow when installed)"
+            "unrecognized media container (supported: OJSM always, "
+            "RIFF/WAVE PCM always, JPEG via Pillow when installed)"
         )
     arr = np.frombuffer(raw, dtype=np.uint8, count=w * h * c * fr,
                         offset=HEADER_LEN)
     meta = {"modality": mod, "width": w, "height": h, "channels": c,
             "n_frames": fr}
     return meta, arr.reshape(fr, h, w, c)
+
+
+def _decode_wav(raw: bytes) -> tuple[dict, np.ndarray]:
+    """Real audio decode: RIFF/WAVE PCM via the stdlib ``wave`` module
+    (8- and 16-bit). The sample stream maps into the uniform frame
+    tensor as (1 frame, 1 row, n_samples, n_channels); 16-bit samples
+    are companded to the uint8 value domain (high byte + 128 offset)
+    so downstream feature kernels see one range for every modality."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(raw)) as wf:
+        nch = wf.getnchannels()
+        width = wf.getsampwidth()
+        nsamp = wf.getnframes()
+        data = wf.readframes(nsamp)
+    if width == 1:
+        arr = np.frombuffer(data, dtype=np.uint8)
+    elif width == 2:
+        s16 = np.frombuffer(data, dtype="<i2")
+        arr = ((s16.astype(np.int32) >> 8) + 128).astype(np.uint8)
+    else:
+        raise NotImplementedError(
+            f"{8 * width}-bit WAV not supported (PCM 8/16-bit only)"
+        )
+    meta = {"modality": 1, "width": nsamp, "height": 1, "channels": nch,
+            "n_frames": 1}
+    return meta, arr.reshape(1, 1, nsamp, nch)
 
 
 def media_features(media: DataFrame, payload_col: str = "payload",

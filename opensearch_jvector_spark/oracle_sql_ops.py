@@ -430,6 +430,40 @@ FROM generate_series(0, {n - 1}) t(i)
 WHERE i % 3 = 2"""
 
 
+def media_features_sql(n: int, seed: int = 0) -> str:
+    """Oracle for media_features (round-2 gap: the entry was rows-only).
+    The OJSM generator is deterministic, so the expected per-blob mean
+    is computable WITHOUT the engine: this recomputes every pixel with
+    an INDEPENDENT pure-python splitmix64 (an int loop — not the
+    engine's vectorized numpy kernel, so a numpy-kernel bug cannot
+    self-confirm) and pins the result as a VALUES table."""
+    M64 = (1 << 64) - 1
+
+    def mix64(x: int) -> int:
+        x &= M64
+        x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & M64
+        x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & M64
+        return (x ^ (x >> 31)) & M64
+
+    rows = []
+    for i in range(n):
+        modality = ("image", "audio", "video")[i % 3]
+        w = 8 + (i * 7 + seed) % 24
+        h = 8 + (i * 5 + seed) % 16
+        c = 1 if i % 3 == 1 else 3
+        fr = 1 if i % 3 == 0 else 2 + i % 4
+        total = w * h * c * fr
+        base = (i * 0x9E3779B9) & M64
+        acc = sum(mix64((base + j) & M64) & 0xFF for j in range(total))
+        rows.append((i, modality, round(acc / total, 6)))
+    vals = ", ".join(f"({i}, '{m}', {v!r})" for i, m, v in rows)
+    return (
+        "SELECT media_id::BIGINT AS media_id, modality, "
+        "mean_val::DOUBLE AS mean_val "
+        f"FROM (VALUES {vals}) AS t(media_id, modality, mean_val)"
+    )
+
+
 def doc_fingerprint_sql() -> str:
     h = H32.format(e="t")
     return f"""WITH {TOKS}

@@ -141,3 +141,42 @@ def test_jpeg_decode_roundtrip_when_pillow_present(spark):
     ref = np.asarray(Image.open(io.BytesIO(blob))).astype(np.float64)
     assert row.modality == "image"
     assert row.mean_val == pytest.approx(ref.mean(), abs=1e-9)
+
+
+def test_wav_decode_roundtrip(spark):
+    """Real audio decode (stdlib wave — always available): 16-bit and
+    8-bit PCM WAV blobs round-trip through media_features with the
+    documented uint8 companding."""
+    import io
+    import wave as wavemod
+
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(7)
+    s16 = rng.randint(-32768, 32767, size=200, dtype=np.int16)
+    buf16 = io.BytesIO()
+    with wavemod.open(buf16, "wb") as wf:
+        wf.setnchannels(2)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(s16.tobytes())
+    s8 = rng.randint(0, 256, size=150, dtype=np.uint8)
+    buf8 = io.BytesIO()
+    with wavemod.open(buf8, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(1)
+        wf.setframerate(8000)
+        wf.writeframes(s8.tobytes())
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"media_id": [0, 1], "payload": [buf16.getvalue(), buf8.getvalue()]}
+        )
+    )
+    rows = {r.media_id: r for r in media_features(df).collect()}
+    exp16 = ((s16.astype(np.int32) >> 8) + 128).astype(np.uint8)
+    assert rows[0].modality == "audio"
+    assert rows[0].mean_val == pytest.approx(exp16.astype(float).mean(), abs=1e-9)
+    assert rows[1].modality == "audio"
+    assert rows[1].mean_val == pytest.approx(s8.astype(float).mean(), abs=1e-9)
