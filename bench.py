@@ -158,6 +158,67 @@ def _run_queries(spark, store):
     return batch_sec, n, lat, metrics.snapshot()
 
 
+def _run_maintenance(spark, store, n_turns: int):
+    """Round-2's biggest new surface, measured end-to-end so the driver
+    bench (not just pytest) catches regressions: append a 2% batch ->
+    query -> delete 0.5% -> compact -> fold everything to one layer ->
+    query. Latencies per step, with rank-sanity on the final query."""
+    from opensearch_jvector_spark.operators.delete import (
+        compact_deletes,
+        delete_docs,
+    )
+    from opensearch_jvector_spark.operators.docid import assign_doc_ids
+    from opensearch_jvector_spark.operators.merge import fold_deltas
+    from opensearch_jvector_spark.operators.wand import bm25_topk_batch
+    from opensearch_jvector_spark.plans.query import Query
+    from opensearch_jvector_spark.sources.transcripts import (
+        query_set,
+        transcripts,
+    )
+    from opensearch_jvector_spark.streaming.incremental import append_index
+    from pyspark.sql import functions as F
+
+    out = {}
+    qs = [
+        Query(s["query_id"], tuple(s["terms"]), s["k"])
+        for s in query_set(8, k=10)
+    ]
+
+    def timed(key, fn):
+        t0 = time.perf_counter()
+        r = fn()
+        out[key] = round(time.perf_counter() - t0, 3)
+        return r
+
+    batch_convs = max(4, n_turns // TURNS_PER_CONV // 50)  # ~2%
+    tail = transcripts(spark, batch_convs, TURNS_PER_CONV, seed=99).select(
+        "conv_id", "turn_idx", "text"
+    )
+    timed("append_sec", lambda: append_index(spark, store, tail, "bench-app"))
+    timed(
+        "query_after_append_sec",
+        lambda: bm25_topk_batch(spark, store, qs).toPandas(),
+    )
+    # a contiguous 0.5% range: compaction cost is O(affected chunks),
+    # so the bench measures the targeted-rebuild path (a scattered
+    # stride would touch every chunk = a full rebuild, not maintenance)
+    del_ids = spark.range(0, max(1, n_turns // 200)).select(
+        F.col("id").alias("doc_id")
+    )
+    timed("delete_sec", lambda: delete_docs(spark, store, del_ids, "bench-del"))
+    # compaction rebuilds from the source-of-truth text table
+    full = transcripts(spark, n_turns // TURNS_PER_CONV, TURNS_PER_CONV)
+    docs = assign_doc_ids(full, dense_turn_idx=True).select("doc_id", "text")
+    timed("compact_sec", lambda: compact_deletes(spark, store, docs))
+    timed("fold_sec", lambda: fold_deltas(spark, store))
+    res = timed(
+        "query_after_fold_sec",
+        lambda: bm25_topk_batch(spark, store, qs).toPandas(),
+    )
+    out["final_query_rows"] = int(len(res))
+    return out
+
+
 def _kernel_task(args):
     """One tokenize+encode workload ~ one segment (multiprocessing)."""
     seed, n_docs = args
@@ -289,6 +350,7 @@ def main() -> None:
         )
         build_sec = times[0]
         batch_sec, n_rows, lat, pruning = _run_queries(spark, store)
+        maintenance = _run_maintenance(spark, store, n_turns)
     finally:
         spark.stop()
 
@@ -307,6 +369,9 @@ def main() -> None:
         # block-max pruning effectiveness over the 100-query batch
         # (reference stats analog: KNNCounter visited/reranked counts)
         "pruning": pruning,
+        # append -> query -> delete -> compact -> fold -> query latency
+        # (the index-maintenance surface, measured per-round)
+        "maintenance": maintenance,
     }
 
     if os.environ.get("BENCH_SCALING") == "1":

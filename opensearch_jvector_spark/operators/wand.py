@@ -278,12 +278,10 @@ def _query_kernel(
                         continue
                     pos = np.searchsorted(cand_g, docs)
                     pos = np.minimum(pos, len(cand_g) - 1)
+                    # no extra mask step here: cand is mask-filtered
+                    # already, so masked docs miss this hit test
                     hit = cand_g[pos] == docs
                     loc = docs[hit] - base
-                    if mask is not None:
-                        # cand is mask-filtered already; docs outside it
-                        # miss the searchsorted hit test above
-                        pass
                     acc[loc] += score_np(
                         tfs[hit], dls[loc], idfs[terms[j]], avgdl, k1, b
                     )
