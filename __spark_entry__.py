@@ -316,9 +316,9 @@ def _q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_dir(sf_dir: str) -> str:
-    # v2: k-means-refined centroids + PQ codes (round-3 layout)
+    # v3: k-means-refined centroids + PQ codes + int8 SQ columns
     return os.path.join(
-        "/tmp/ojs_ivf2", os.path.abspath(sf_dir).strip("/").replace("/", "_")
+        "/tmp/ojs_ivf3", os.path.abspath(sf_dir).strip("/").replace("/", "_")
     )
 
 
@@ -334,7 +334,7 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_ivf(
         _embs(spark, sf_dir), _query_vec(spark, sf_dir), k=10,
         n_centroids=16, n_probe=4, index_dir=_ivf_dir(sf_dir),
-        kmeans_iters=1, pq_m=8,
+        kmeans_iters=1, pq_m=8, sq=True,
     )
 
 
@@ -350,7 +350,21 @@ def _q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_ivf(
         _embs(spark, sf_dir), _query_vec(spark, sf_dir), k=10,
         n_centroids=16, n_probe=4, index_dir=_ivf_dir(sf_dir),
-        kmeans_iters=1, pq_m=8, use_pq=True, overquery=50,
+        kmeans_iters=1, pq_m=8, sq=True, use_pq=True, overquery=50,
+    )
+
+
+def _q_ann_ivf_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The int8 scalar-quantized path (reference C3 scalar quantizers,
+    OneBitScalarQuantizer.java:25-88 family): 8x fewer vector bytes in
+    the approximate pass, exact rerank after — rank-identical to the
+    exact IVF result at this scale (same oracle)."""
+    from opensearch_jvector_spark.operators.similarity import cosine_topk_ivf
+
+    return cosine_topk_ivf(
+        _embs(spark, sf_dir), _query_vec(spark, sf_dir), k=10,
+        n_centroids=16, n_probe=4, index_dir=_ivf_dir(sf_dir),
+        kmeans_iters=1, pq_m=8, sq=True, use_sq=True, overquery=50,
     )
 
 
@@ -367,7 +381,7 @@ def _q_ann_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine_topk_ivf(  # build via the shared path
             _embs(spark, sf_dir), _query_vec(spark, sf_dir), k=1,
             n_centroids=16, n_probe=1, index_dir=index_dir,
-            kmeans_iters=1, pq_m=8,
+            kmeans_iters=1, pq_m=8, sq=True,
         ).collect()
     queries = [
         (f"q{i}", _query_vec(spark, sf_dir, vec_id=v))
@@ -548,6 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_bruteforce,
         "ann_cosine_ivf": _q_ann_ivf,
         "ann_cosine_ivf_pq": _q_ann_ivf_pq,
+        "ann_cosine_ivf_sq": _q_ann_ivf_sq,
         "ann_ivf_batch": _q_ann_ivf_batch,
         "ann_l2_topk": _q_ann_space("l2", 10),
         "ann_ip_topk": _q_ann_space("innerproduct", 10),
@@ -606,6 +621,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         # PQ path reranks to exactness at this scale -> same oracle
         "ann_cosine_ivf_pq": osops.cosine_topk_ivf_sql(
+            query_vec_id=0, k=10, n_centroids=16, n_probe=4, kmeans_iters=1
+        ),
+        "ann_cosine_ivf_sq": osops.cosine_topk_ivf_sql(
             query_vec_id=0, k=10, n_centroids=16, n_probe=4, kmeans_iters=1
         ),
         "ann_ivf_batch": osops.cosine_topk_ivf_batch_sql(

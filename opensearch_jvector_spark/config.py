@@ -56,9 +56,13 @@ class EngineConfig:
     # overquery_factor + rescore oversampling (KNNConstants.java:119,
     # RescoreContext.java:20-60) trade recall for latency in an
     # approximate engine; MaxScore over BM25 is exact, so the knobs
-    # would be dead weight (round-1 carried an unused overquery_factor
-    # stub — deleted). The exact-search-threshold switch
-    # (KNNSettings.java:70,87) survives as driver_topk_max_postings.
+    # would be dead weight for TEXT queries (round-1 carried an unused
+    # overquery_factor stub — deleted). On the embedding ANN side the
+    # trade is real and the knobs DO exist, where they belong:
+    # similarity.ivf_query(use_pq=..., overquery=...) is the literal
+    # overquery+rerank mechanism (quantize.py trains the codebooks).
+    # The exact-search-threshold switch (KNNSettings.java:70,87)
+    # survives as driver_topk_max_postings.
 
     # small-query fast path: when a warmed store holds driver-side
     # norms and the query terms' total postings fit under this cap, the

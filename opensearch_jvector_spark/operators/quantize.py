@@ -108,6 +108,30 @@ def adc_scores(codes: np.ndarray, T: np.ndarray) -> np.ndarray:
     return T[np.arange(m)[None, :], codes.astype(np.int64)].sum(axis=1)
 
 
+# ---- int8 scalar quantization (C3 analog) ----
+# Reference: the quantization package's scalar quantizers binarize /
+# bit-pack vectors against trained thresholds
+# (quantization/quantizer/OneBitScalarQuantizer.java:25-88,
+# MultiBitScalarQuantizer.java, BitPacker.java). The int8 variant keeps
+# one scale per vector (max-abs / 127): 8x fewer vector bytes through
+# the approximate scan, exact rerank restores full precision — same
+# two-pass shape as PQ with zero training state.
+
+def sq_encode(M: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(codes int8 (b, d), scales float64 (b,)): per-vector max-abs
+    scaling. Zero vectors get scale 0 (codes all zero)."""
+    scales = np.abs(M).max(axis=1) / 127.0
+    safe = np.where(scales == 0, 1.0, scales)
+    codes = np.clip(np.rint(M / safe[:, None]), -127, 127).astype(np.int8)
+    return codes, scales
+
+
+def sq_scores(codes: np.ndarray, scales: np.ndarray, qv: np.ndarray) -> np.ndarray:
+    """Approximate dot products: (int8 codes @ q) * scale — one matmul
+    per batch, float64 accumulate."""
+    return (codes.astype(np.float64) @ qv) * scales
+
+
 # ---- persisted codebooks (live inside the IVF index dir) ----
 
 def save_codebooks(index_dir: str, codebooks: np.ndarray) -> None:

@@ -269,6 +269,7 @@ def ivf_build(
     pq_m: int | None = None,
     pq_codes: int = 32,
     pq_sample: int = 4096,
+    sq: bool = False,
 ) -> str:
     """Build a PERSISTED IVF index — the ANN analog of the posting
     index build (reference: JVectorWriter.flush builds the graph once
@@ -322,6 +323,22 @@ def ivf_build(
             return pd.Series([c.tobytes() for c in codes])
 
         lists = lists.withColumn("code", encode(F.col("v")))
+    if sq:
+        from .quantize import sq_encode
+
+        @F.pandas_udf("sq_code binary, sq_scale double")
+        def sq_cols(vs: pd.Series) -> pd.DataFrame:
+            codes, scales = sq_encode(_stack_batch(vs, None))
+            return pd.DataFrame(
+                {"sq_code": [c.tobytes() for c in codes], "sq_scale": scales}
+            )
+
+        lists = lists.withColumn("_sq", sq_cols(F.col("v")))
+        lists = lists.select(
+            *[c for c in lists.columns if c != "_sq"],
+            F.col("_sq.sq_code").alias("sq_code"),
+            F.col("_sq.sq_scale").alias("sq_scale"),
+        )
 
     (
         lists.repartition("cell")
@@ -387,6 +404,7 @@ def ivf_query(
     n_probe: int = 4,
     space: str = "cosine",
     use_pq: bool = False,
+    use_sq: bool = False,
     overquery: int = 4,
     metrics: dict | None = None,
 ) -> DataFrame:
@@ -412,42 +430,78 @@ def ivf_query(
         return spark.createDataFrame(
             [], f"vec_id long, {score_name} double, rank int"
         )
-    if not use_pq:
+    if not (use_pq or use_sq):
         scored = _exact_scores(spark, paths, qv, space, score_name)
         return _rank_topk(scored, k, score_name)
+    if use_pq and use_sq:
+        raise ValueError("choose one of use_pq / use_sq")
 
-    from .quantize import adc_scores, adc_table, load_codebooks
-
-    codebooks = load_codebooks(index_dir)
-    if codebooks is None:
-        raise ValueError(f"index at {index_dir} was built without pq_m")
-    T = adc_table(qv, codebooks)
-    bc = spark.sparkContext.broadcast(T)
     qn = float(np.linalg.norm(qv))
+    if use_pq:
+        from .quantize import adc_scores, adc_table, load_codebooks
 
-    @F.pandas_udf("double")
-    def approx(codes: pd.Series, norms: pd.Series) -> pd.Series:
-        Tm = bc.value
-        Cb = np.frombuffer(
-            b"".join(codes.to_numpy()), dtype=np.uint8
-        ).reshape(len(codes), Tm.shape[0])
-        dots = adc_scores(Cb, Tm)
-        if space == "cosine":
-            n = norms.to_numpy(dtype=np.float64)
-            return pd.Series(dots / (np.where(n == 0, 1.0, n) * (qn or 1.0)))
-        return pd.Series(dots)  # l2/ip: ADC dot is the monotone proxy
+        codebooks = load_codebooks(index_dir)
+        if codebooks is None:
+            raise ValueError(f"index at {index_dir} was built without pq_m")
+        T = adc_table(qv, codebooks)
+        bc = spark.sparkContext.broadcast(T)
+
+        @F.pandas_udf("double")
+        def approx(codes: pd.Series, norms: pd.Series) -> pd.Series:
+            Tm = bc.value
+            Cb = np.frombuffer(
+                b"".join(codes.to_numpy()), dtype=np.uint8
+            ).reshape(len(codes), Tm.shape[0])
+            dots = adc_scores(Cb, Tm)
+            if space == "cosine":
+                n = norms.to_numpy(dtype=np.float64)
+                return pd.Series(
+                    dots / (np.where(n == 0, 1.0, n) * (qn or 1.0))
+                )
+            return pd.Series(dots)  # l2/ip: ADC dot is the monotone proxy
+
+        pass1_schema = "vec_id long, norm double, code binary"
+        approx_col = approx(F.col("code"), F.col("norm"))
+        approx_cols = ("code", "norm")
+    else:  # int8 scalar quantization (C3 analog)
+        from .quantize import sq_scores
+
+        bcq = spark.sparkContext.broadcast(qv)
+
+        @F.pandas_udf("double")
+        def approx_sq(codes: pd.Series, scales: pd.Series,
+                      norms: pd.Series) -> pd.Series:
+            q = bcq.value
+            Cb = np.frombuffer(
+                b"".join(codes.to_numpy()), dtype=np.int8
+            ).reshape(len(codes), len(q))
+            dots = sq_scores(Cb, scales.to_numpy(dtype=np.float64), q)
+            if space == "cosine":
+                n = norms.to_numpy(dtype=np.float64)
+                return pd.Series(
+                    dots / (np.where(n == 0, 1.0, n) * (qn or 1.0))
+                )
+            return pd.Series(dots)
+
+        pass1_schema = (
+            "vec_id long, norm double, sq_code binary, sq_scale double"
+        )
+        approx_col = approx_sq(
+            F.col("sq_code"), F.col("sq_scale"), F.col("norm")
+        )
+        approx_cols = ("sq_code", "sq_scale", "norm")
 
     # pass 1: codes only (column pruning keeps vector bytes on disk)
     cand_df = (
-        spark.read.schema("vec_id long, norm double, code binary")
+        spark.read.schema(pass1_schema)
         .parquet(*paths)
-        .select("vec_id", approx(F.col("code"), F.col("norm")).alias("a"))
+        .select("vec_id", approx_col.alias("a"))
         .orderBy(F.desc("a"), F.asc("vec_id"))
         .limit(k * overquery)
     )
     cand_ids = [r["vec_id"] for r in cand_df.collect()]
     if metrics is not None:
-        metrics.update(_pq_bytes_metrics(paths, len(cand_ids)))
+        metrics.update(_pq_bytes_metrics(paths, len(cand_ids), approx_cols))
     if not cand_ids:
         return spark.createDataFrame(
             [], f"vec_id long, {score_name} double, rank int"
@@ -477,15 +531,18 @@ def _exact_scores(
     return df.select("vec_id", score.alias(score_name))
 
 
-def _pq_bytes_metrics(paths: list[str], n_cand: int) -> dict:
+def _pq_bytes_metrics(
+    paths: list[str], n_cand: int, approx_cols: tuple = ("code", "norm")
+) -> dict:
     """Uncompressed bytes-through-the-scan accounting from parquet
-    FOOTERS (no data pages read): the approximate pass reads code+norm
-    of every probed row; the rerank reads full vectors of only the
-    candidates. The reported ratio is the reference's compression win
-    made visible (BENCH analog of KNNCounter)."""
+    FOOTERS (no data pages read): the approximate pass reads only its
+    code columns (+norm) of every probed row; the rerank reads full
+    vectors of only the candidates. The reported ratio is the
+    reference's compression win made visible (BENCH analog of
+    KNNCounter)."""
     import pyarrow.parquet as papq
 
-    col_bytes = {"code": 0, "norm": 0, "v": 0}
+    col_bytes = {c: 0 for c in {*approx_cols, "norm", "v"}}
     rows = 0
     for p in paths:
         for base, _, files in os.walk(p):
@@ -501,7 +558,7 @@ def _pq_bytes_metrics(paths: list[str], n_cand: int) -> dict:
                         name = col.path_in_schema.split(".")[0]
                         if name in col_bytes:
                             col_bytes[name] += col.total_uncompressed_size
-    approx_bytes = col_bytes["code"] + col_bytes["norm"]
+    approx_bytes = sum(col_bytes[c] for c in {*approx_cols, "norm"})
     rerank_bytes = int(col_bytes["v"] * (n_cand / rows)) if rows else 0
     full_bytes = col_bytes["v"] + col_bytes["norm"]
     scanned = approx_bytes + rerank_bytes
@@ -620,7 +677,9 @@ def cosine_topk_ivf(
     kmeans_iters: int = 1,
     space: str = "cosine",
     use_pq: bool = False,
+    use_sq: bool = False,
     pq_m: int | None = None,
+    sq: bool = False,
     overquery: int = 4,
     metrics: dict | None = None,
 ) -> DataFrame:
@@ -637,11 +696,12 @@ def cosine_topk_ivf(
             ivf_build(
                 embeddings, index_dir, n_centroids,
                 kmeans_iters=kmeans_iters, id_col=id_col, vec_col=vec_col,
-                space=space, pq_m=pq_m,
+                space=space, pq_m=pq_m, sq=sq,
             )
         return ivf_query(
             spark, index_dir, query_vec, k, n_probe, space,
-            use_pq=use_pq, overquery=overquery, metrics=metrics,
+            use_pq=use_pq, use_sq=use_sq, overquery=overquery,
+            metrics=metrics,
         )
 
     e = embeddings.select(

@@ -45,6 +45,16 @@ def get_spark(
         # moot.
         .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
     )
+    # NOT here deliberately: shuffle-compression-off + 1m file buffers
+    # were A/B-tested against the round-2 merge-shuffle residual
+    # (8->32 scaling) and REVERTED. Interleaved trials at 8M turns
+    # showed no reproducible win and a plausible harm mechanism: with
+    # bypass-merge shuffle (64 reducers, no map-side combine) the file
+    # buffer is allocated PER REDUCER PER CONCURRENT MAP TASK —
+    # 64 x 1m x 32 tasks ≈ 2 GB of write buffers + GC pressure — and
+    # uncompressed shuffle doubles memory-bus traffic for the (highly
+    # compressible) pre-merge text rows. Measurements in
+    # BENCH/BASELINE.md note the external host load during this round.
     if shuffle_partitions is not None:
         b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     else:

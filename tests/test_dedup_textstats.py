@@ -221,7 +221,7 @@ def test_pq_recall_compression_and_rerank_exactness(spark, tmp_path):
 
     embs = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
     index_dir = str(tmp_path / "ivfpq")
-    ivf_build(embs, index_dir, n_centroids=16, kmeans_iters=1, pq_m=8)
+    ivf_build(embs, index_dir, n_centroids=16, kmeans_iters=1, pq_m=8, sq=True)
 
     # recall vs the UNQUANTIZED IVF result isolates the PQ-induced loss
     # (probe loss is covered by the unquantized recall test below);
@@ -267,6 +267,22 @@ def test_pq_recall_compression_and_rerank_exactness(spark, tmp_path):
         ).collect()
     ]
     assert pq == full
+
+    # int8 scalar quantization (C3 analog): ~0.4% error per component
+    # is plenty for candidate ranking — with a REAL pruning overquery
+    # the rerank recovers the unquantized IVF result at this scale, and
+    # the approximate pass still skips the full-precision vector bytes
+    msq: dict = {}
+    sq = [
+        tuple(r)
+        for r in ivf_query(
+            spark, index_dir, q, 10, n_probe=4, use_sq=True, overquery=8,
+            metrics=msq,
+        ).collect()
+    ]
+    assert sq == full
+    assert msq["bytes_scanned"] < msq["unquantized_bytes"], msq
+    assert msq["compression_ratio"] >= 2.0, msq
 
 
 def test_ivf_batch_rank_identical_constant_jobs(spark, tmp_path):
