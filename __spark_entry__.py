@@ -486,7 +486,7 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from opensearch_jvector_spark.operators.multimodal import media_features
 
     return media_features(_media(spark)).select(
-        "media_id", "modality", F.round("mean_val", 6).alias("mean_val")
+        "media_id", "modality", "mean_val"
     )
 
 

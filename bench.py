@@ -299,6 +299,10 @@ def _run_scaling_pair(lo: int, hi: int, n_convs: int) -> dict:
     eff = out[hi]["turns_per_sec"] / (out[lo]["turns_per_sec"] * (hi / lo))
     return {
         "n_turns": n_convs * TURNS_PER_CONV,
+        # external (host-level) load when the pair ran: this sandbox
+        # shares hardware — os.getloadavg() counts OTHER tenants' work,
+        # which contends directly with the hi-core measurement
+        "host_loadavg": round(os.getloadavg()[0], 1),
         "cores_lo": lo,
         "cores_hi": hi,
         f"turns_per_sec_local[{lo}]": round(out[lo]["turns_per_sec"], 1),
@@ -427,6 +431,8 @@ def _write_baseline_md(result: dict, lo_cores: int) -> None:
                 f"(trials {p[f'trials_local[{hi}]']}) |\n"
                 f"| **scaling efficiency {lo} -> {hi} cores** | "
                 f"**{p['efficiency']}** |\n"
+                f"| host load average during pair (external tenants) | "
+                f"{p.get('host_loadavg', 'n/a')} |\n"
                 f"| kernel-only efficiency ({lo}p -> {hi}p, "
                 f"multiprocessing) | {p['kernel_efficiency']} |\n"
                 f"| stages @ local[{lo}] (best trial) | "

@@ -455,7 +455,11 @@ def media_features_sql(n: int, seed: int = 0) -> str:
         total = w * h * c * fr
         base = (i * 0x9E3779B9) & M64
         acc = sum(mix64((base + j) & M64) & 0xFF for j in range(total))
-        rows.append((i, modality, round(acc / total, 6)))
+        # no rounding: both sides sum exact integer pixel values (far
+        # below 2^53), so the IEEE double of acc/total is bit-identical
+        # between this int loop and the engine's float64 numpy mean —
+        # rounding only introduces HALF_UP-vs-half-even tie mismatches
+        rows.append((i, modality, acc / total))
     vals = ", ".join(f"({i}, '{m}', {v!r})" for i, m, v in rows)
     return (
         "SELECT media_id::BIGINT AS media_id, modality, "
