@@ -127,22 +127,52 @@ def minhash_signatures(
 
 
 def cap_lsh_buckets(
-    band_df: DataFrame, max_bucket_size: int | None, keys: list[str]
+    band_df: DataFrame,
+    max_bucket_size: int | None,
+    keys: list[str],
+    cap_stats: dict | None = None,
 ) -> DataFrame:
     """Drop LSH buckets larger than ``max_bucket_size`` (each bucket of
     B docs yields B^2 candidate pairs — one boilerplate flood can
-    dominate the whole job at 100 TB). A standard recall trade: callers
-    log what was dropped via ``lsh_bucket_stats`` before capping. None
-    disables the cap (oracle-exact mode)."""
+    dominate the whole job at 100 TB). A standard recall trade — and an
+    OBSERVABLE one (round-3 ADVICE: the default cap silently truncated
+    the candidate set): when the cap fires, the dropped bucket/row
+    counts land in ``cap_stats`` (if given) and a ``UserWarning`` is
+    emitted, so capped results are distinguishable from complete ones.
+    The accounting is an aggregate over the hot buckets ONLY (tiny by
+    construction), collected driver-side in the same job that builds
+    the anti-join side. None disables the cap (oracle-exact mode)."""
     if max_bucket_size is None:
+        if cap_stats is not None:
+            cap_stats.update({"capped_buckets": 0, "capped_rows": 0})
         return band_df
     hot = (
         band_df.groupBy(*keys)
         .count()
         .filter(F.col("count") > max_bucket_size)
-        .select(*keys)
     )
-    return band_df.join(hot, keys, "left_anti")
+    hot_rows = hot.collect()  # buckets above cap are few by construction
+    if cap_stats is not None:
+        cap_stats["capped_buckets"] = len(hot_rows)
+        cap_stats["capped_rows"] = int(sum(r["count"] for r in hot_rows))
+    if not hot_rows:
+        return band_df
+    import warnings
+
+    warnings.warn(
+        f"LSH cap dropped {len(hot_rows)} bucket(s) / "
+        f"{sum(r['count'] for r in hot_rows)} row(s) larger than "
+        f"{max_bucket_size}; candidate pairs are incomplete for those "
+        "buckets (pass max_bucket_size=None for the exact set)",
+        UserWarning,
+        stacklevel=3,
+    )
+    spark = band_df.sparkSession
+    hot_keys = spark.createDataFrame(
+        [tuple(r[k] for k in keys) for r in hot_rows],
+        hot.select(*keys).schema,
+    )
+    return band_df.join(F.broadcast(hot_keys), keys, "left_anti")
 
 
 def lsh_bucket_stats(band_df: DataFrame, keys: list[str]) -> DataFrame:
@@ -166,6 +196,7 @@ def dedup_minhash_lsh(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket_size: int | None = 1000,
+    cap_stats: dict | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) candidate pairs sharing >=1 LSH band,
     verified with exact shingle Jaccard >= threshold.
@@ -192,7 +223,7 @@ def dedup_minhash_lsh(
             ).alias("band_key")
         )
     )
-    band = cap_lsh_buckets(band, max_bucket_size, ["band", "band_key"])
+    band = cap_lsh_buckets(band, max_bucket_size, ["band", "band_key"], cap_stats)
     a = band.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
     b = band.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
     cand = (
@@ -289,6 +320,7 @@ def dedup_simhash(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket_size: int | None = 1000,
+    cap_stats: dict | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, hamming) — ALL pairs with simhash hamming distance
     <= max_hamming (exact w.r.t. the fingerprint, not a heuristic):
@@ -310,7 +342,7 @@ def dedup_simhash(
     banded = s.select(
         "doc_id", "simhash", F.posexplode(keys).alias("band", "bk")
     )
-    banded = cap_lsh_buckets(banded, max_bucket_size, ["band", "bk"])
+    banded = cap_lsh_buckets(banded, max_bucket_size, ["band", "bk"], cap_stats)
     a = banded.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"),
         "band", "bk",
@@ -404,6 +436,7 @@ def dedup_embedding_cosine(
     rows_per_band: int = 2,
     seed: int = 12345,
     max_bucket_size: int | None = 1000,
+    cap_stats: dict | None = None,
 ) -> DataFrame:
     """(vec_a, vec_b, cos) embedding near-dup pairs, cosine >= threshold.
 
@@ -442,7 +475,7 @@ def dedup_embedding_cosine(
         bands = hyperplane_bands(
             src, dim, n_planes, rows_per_band, seed, id_col, vec_col
         )
-        bands = cap_lsh_buckets(bands, max_bucket_size, ["band", "bk"])
+        bands = cap_lsh_buckets(bands, max_bucket_size, ["band", "bk"], cap_stats)
         ca = bands.select(F.col("vid").alias("vec_a"), "band", "bk")
         cb = bands.select(F.col("vid").alias("vec_b"), "band", "bk")
         cand = (

@@ -82,6 +82,28 @@ def delete_docs(
     return stats
 
 
+def _chunk_range_pred(affected: list[int], dpc: int):
+    """PUSHABLE source filter for the affected chunks: an OR of
+    ``doc_id BETWEEN chunk*dpc AND (chunk+1)*dpc - 1`` ranges (adjacent
+    chunks coalesced). Round 3 filtered on ``(doc_id / dpc).isin(...)``
+    — an expression on a COMPUTED column no parquet reader can push, so
+    compacting one chunk of 32 still read every source row-group. Plain
+    BETWEEN on the stored doc_id column reaches the scan as
+    PushedFilters (min/max row-group pruning applies), making the
+    compaction SCAN O(affected chunks) like the rebuild already was."""
+    ranges: list[list[int]] = []
+    for c in sorted(affected):
+        if ranges and c == ranges[-1][1] + 1:
+            ranges[-1][1] = c
+        else:
+            ranges.append([c, c])
+    pred = None
+    for lo, hi in ranges:
+        p = F.col("doc_id").between(lo * dpc, (hi + 1) * dpc - 1)
+        pred = p if pred is None else (pred | p)
+    return pred
+
+
 def compact_deletes(
     spark: SparkSession, store: IndexStore, docs: DataFrame
 ) -> dict:
@@ -111,11 +133,22 @@ def compact_deletes(
     )
     if not affected:
         return stats
+    # name = monotonic per-store compaction sequence (persisted in
+    # stats, bumped only at the stats swap) + a chunk digest. Sequence,
+    # not tombstone NAMES: auto-generated names recycle ("tomb_0" again
+    # once tombstone_batches clears), so a second delete+compact cycle
+    # over the same chunks would reproduce the old name — the existing
+    # delta dir would early-return, the purged-ledger write would be
+    # skipped, and the newly deleted docs would silently resurrect
+    # (round-3 ADVICE; same class as the fold_deltas content-name fix).
+    # Crash retry stays deterministic: a crash before the stats swap
+    # leaves the sequence unbumped, so the retry recomputes the SAME
+    # name and re-links the already-published artifacts.
+    seq = int(stats.get("compact_seq", 0))
     digest = hashlib.sha256(
-        (",".join(sorted(stats["tombstone_batches"]))
-         + "|" + ",".join(map(str, affected))).encode()
-    ).hexdigest()[:12]
-    name = f"compact_{digest}"
+        ",".join(map(str, affected)).encode()
+    ).hexdigest()[:8]
+    name = f"compact_{seq:04d}_{digest}"
 
     # ---- old state of the affected chunks (for stats/dictionary
     # corrections) — pruned reads, O(affected), no decode
@@ -143,10 +176,9 @@ def compact_deletes(
     # liveDocs semantics: a doc deleted in a past merge round must not
     # resurrect when its chunk rebuilds again — the ledger read is
     # pruned to the affected chunks)
-    chunk_col = (F.col("doc_id") / dpc).cast("long")
     sub = (
         docs.select("doc_id", "text")
-        .filter(chunk_col.isin(affected))
+        .filter(_chunk_range_pred(affected, dpc))
         .join(tombs, "doc_id", "left_anti")
     )
     prior_purged = store.read_purged(spark, stats, affected)
@@ -254,6 +286,7 @@ def compact_deletes(
     stats["dict_version"] = dict_seq
     cleared = stats["tombstone_batches"]
     stats["tombstone_batches"] = []
+    stats["compact_seq"] = seq + 1
     if name not in stats.setdefault("purged_batches", []):
         stats["purged_batches"].append(name)
     store.write_stats(stats, config)

@@ -178,9 +178,22 @@ def _decode(raw: bytes) -> tuple[dict, np.ndarray]:
         return _decode_wav(raw)
     magic, mod, w, h, c, fr = struct.unpack_from(_HEADER_FMT, raw, 0)
     if magic != MAGIC:
+        # Real video containers (mp4/webm/mkv) are a DOCUMENTED skip,
+        # not a gap to be papered over: unlike WAV (stdlib ``wave``) and
+        # JPEG (Pillow, import-gated + skipif-tested), video decode
+        # requires an ffmpeg-class dependency (PyAV/imageio-ffmpeg)
+        # that is absent from this environment, has no stdlib fallback,
+        # and cannot be integration-tested here — an import-gated
+        # branch would be untestable code masquerading as support. The
+        # Spark-side plumbing videos need (binary column, frame
+        # sampling, per-frame features, batch shapes) is real and
+        # tested via the OJSM multi-frame container; a production
+        # deployment plugs a decoder into this exact function.
         raise NotImplementedError(
             "unrecognized media container (supported: OJSM always, "
-            "RIFF/WAVE PCM always, JPEG via Pillow when installed)"
+            "RIFF/WAVE PCM always, JPEG via Pillow when installed; "
+            "real video containers need an ffmpeg-class decoder "
+            "unavailable in this environment — see comment above)"
         )
     arr = np.frombuffer(raw, dtype=np.uint8, count=w * h * c * fr,
                         offset=HEADER_LEN)

@@ -83,6 +83,30 @@ def space_score_col(v, q, space: str, vnorm=None, qnorm=None):
     raise ValueError(f"unknown space {space!r}; supported: {SPACES}")
 
 
+def _apply_allow(df: DataFrame, filter_ids) -> DataFrame:
+    """acceptDocs-style allow-list (reference: the ``filter`` sub-query
+    becomes a Bits bitmap the graph search consults,
+    JVectorReader.java:167-182; engine gate KNNQueryBuilder.java:
+    510-514). Spark-first forms:
+      * a DataFrame with a ``vec_id`` column — LEFT SEMI join; AQE
+        turns it into a broadcast join when the filter side is small,
+        and at 100 TB a half-the-corpus filter stays a shuffled semi
+        join instead of a driver collect;
+      * an iterable of ints — an In() predicate that reaches the
+        parquet scan as PushedFilters.
+    The allow-list restricts candidates BEFORE ranking/overquery, so
+    filtered docs never consume the candidate budget."""
+    if filter_ids is None:
+        return df
+    if isinstance(filter_ids, DataFrame):
+        if "vec_id" not in filter_ids.columns:
+            raise ValueError("filter_ids DataFrame needs a vec_id column")
+        allow = filter_ids.select(F.col("vec_id").cast("long")).distinct()
+        return df.join(allow, "vec_id", "left_semi")
+    ids = [int(x) for x in filter_ids]
+    return df.filter(F.col("vec_id").isin(ids))
+
+
 def topk_bruteforce(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -91,14 +115,17 @@ def topk_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     score_name: str = "score",
+    filter_ids=None,
 ) -> DataFrame:
     """(vec_id, <score>, rank) exact top-k for one query vector under
     any supported space. One scan, no shuffle until the
-    TakeOrderedAndProject top-k."""
+    TakeOrderedAndProject top-k. ``filter_ids`` restricts the ranked
+    set (filtered search, Q4 on the embedding side)."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     e = embeddings.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
     )
+    e = _apply_allow(e, filter_ids)
     scored = e.select(
         "vec_id", space_score_col(F.col("v"), q, space).alias(score_name)
     )
@@ -124,11 +151,19 @@ def cosine_topk_bruteforce(
 
 # ---------------------------------------------------------------- IVF
 
+#: spaces whose candidate ranking a dot-product-based quantized proxy
+#: can reproduce (cosine/l2 via norm correction, ip directly); l1/linf
+#: distances are not functions of dots, so quantized passes reject them
+QUANTIZABLE_SPACES = ("cosine", "l2", "innerproduct")
+
+
 def _np_space_scores(
     M: np.ndarray, C: np.ndarray, space: str
 ) -> np.ndarray:
     """(b, n_centroids) scores of batch M against centroid matrix C —
-    higher = closer. Monotone distance forms are enough for argmax."""
+    higher = closer. Monotone distance forms are enough for argmax.
+    l1/linf materialize a (b, n, d) diff tensor — fine for centroid
+    matrices (n small), never used row-vs-row."""
     if space == "cosine":
         mn = np.linalg.norm(M, axis=1)
         cn = np.linalg.norm(C, axis=1)
@@ -141,8 +176,32 @@ def _np_space_scores(
         )
     if space == "innerproduct":
         return M @ C.T
+    if space == "l1":
+        return -np.abs(M[:, None, :] - C[None, :, :]).sum(axis=2)
+    if space == "linf":
+        return -np.abs(M[:, None, :] - C[None, :, :]).max(axis=2)
+    raise ValueError(f"unknown space {space!r}; supported: {SPACES}")
+
+
+def _proxy_from_dots(
+    dots: np.ndarray, norms: np.ndarray, qn: float, space: str
+) -> np.ndarray:
+    """Candidate-ranking proxy from approximate dot products. The proxy
+    must be MONOTONE in the exact score per space, else genuine top-k
+    members get pruned before the rerank can recover them:
+      cosine: dot / (|v| |q|);
+      l2:     2*dot - |v|^2 (== -|v-q|^2 + const; raw dot is NOT
+              monotone in l2 when vector norms vary — a far large-norm
+              vector would outrank a true neighbor, round-3 ADVICE);
+      ip:     dot (the SpaceType ip translation is increasing in dot)."""
+    if space == "cosine":
+        return dots / (np.where(norms == 0, 1.0, norms) * (qn or 1.0))
+    if space == "l2":
+        return 2.0 * dots - norms**2
+    if space == "innerproduct":
+        return dots
     raise ValueError(
-        f"IVF supports spaces ('cosine', 'l2', 'innerproduct'), got {space!r}"
+        f"quantized pass supports {QUANTIZABLE_SPACES}, got {space!r}"
     )
 
 
@@ -210,14 +269,20 @@ def _kmeans_refine(
     iters: int,
     space: str,
 ) -> np.ndarray:
-    """Lloyd refinement with spherical re-centering (mean of unit
-    vectors; empty cells keep their centroid). Per ITERATION: one
-    distributed pass emitting per-PARTITION partial (sum_u, count)
+    """Lloyd refinement; empty cells keep their centroid. Re-centering
+    matches the assignment objective per space: cosine uses the
+    SPHERICAL mean (mean of unit vectors — magnitude is irrelevant to
+    the cosine assignment), every other space uses the plain arithmetic
+    mean (round-3 ADVICE: unit-vector re-centering under l2/ip
+    assignment collapses centroids to unit scale while assignment
+    scores raw magnitudes, degrading partition quality). Per ITERATION:
+    one distributed pass emitting per-PARTITION partial (sum, count)
     matrices — the treeAggregate shape — reduced driver-side; the
     driver never sees corpus rows, only partitions x n_centroids x dim
     float64 partials. Deterministic: numpy kernels, fixed seeds."""
     spark = e.sparkSession
     n, d = C.shape
+    spherical = space == "cosine"
     for _ in range(iters):
         bc = spark.sparkContext.broadcast(C)
 
@@ -230,8 +295,11 @@ def _kmeans_refine(
                     continue
                 M = _stack_batch(pdf["v"], Cm.shape[1])
                 cells = np.argmax(_np_space_scores(M, Cm, space), axis=1)
-                norms = np.linalg.norm(M, axis=1)
-                U = M / np.where(norms == 0, 1.0, norms)[:, None]
+                if spherical:
+                    norms = np.linalg.norm(M, axis=1)
+                    U = M / np.where(norms == 0, 1.0, norms)[:, None]
+                else:
+                    U = M
                 np.add.at(s, cells, U)
                 cnt += np.bincount(cells, minlength=n)
             live = np.nonzero(cnt)[0]
@@ -269,6 +337,7 @@ def ivf_build(
     pq_m: int | None = None,
     pq_codes: int = 32,
     pq_sample: int = 4096,
+    pq_sample_mode: str = "hash",
     sq: bool = False,
 ) -> str:
     """Build a PERSISTED IVF index — the ANN analog of the posting
@@ -308,10 +377,7 @@ def ivf_build(
     if pq_m is not None:
         from .quantize import pq_encode, pq_train, save_codebooks
 
-        sample_rows = (
-            e.filter(F.col("vec_id") < pq_sample).orderBy("vec_id").collect()
-        )
-        sample = np.array([r["v"] for r in sample_rows], dtype=np.float64)
+        sample = _pq_training_sample(e, pq_sample, pq_sample_mode)
         codebooks = pq_train(sample, m=pq_m, n_codes=pq_codes)
         bc = embeddings.sparkSession.sparkContext.broadcast(codebooks)
 
@@ -361,6 +427,39 @@ def ivf_build(
     return index_dir
 
 
+def _pq_training_sample(
+    e: DataFrame, pq_sample: int, mode: str = "hash"
+) -> np.ndarray:
+    """Deterministic, ORDER-UNBIASED PQ training sample. Round 3 took
+    ``vec_id < pq_sample`` — reproducible but biased: on a real corpus
+    low ids are one crawl/domain/time slice, and codebooks trained on
+    them silently misfit the rest (the reference trains on a reservoir
+    sample, quantization/sampler/ReservoirSampler.java). ``hash`` mode
+    keeps a row iff ``xxhash64(vec_id) % p == 0`` with p sized from the
+    corpus count — same determinism (fixed xxhash64 seed), no ordering
+    bias, one pushed-down id-column count + one pruned sample read.
+    ``first`` preserves the legacy rule (kept for the adversarial-order
+    A/B pytest)."""
+    if mode == "first":
+        rows = (
+            e.filter(F.col("vec_id") < pq_sample).orderBy("vec_id").collect()
+        )
+    elif mode == "hash":
+        n = e.count()
+        p = max(1, n // pq_sample)
+        rows = (
+            e.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(p)) == 0)
+            .orderBy("vec_id")
+            .limit(pq_sample)
+            .collect()
+        )
+    else:
+        raise ValueError(f"pq_sample_mode must be 'hash' or 'first', got {mode!r}")
+    if not rows:
+        raise ValueError("empty PQ training sample")
+    return np.array([r["v"] for r in rows], dtype=np.float64)
+
+
 def _load_centroids(index_dir: str) -> tuple[np.ndarray, np.ndarray]:
     import pyarrow.parquet as papq
 
@@ -407,6 +506,7 @@ def ivf_query(
     use_sq: bool = False,
     overquery: int = 4,
     metrics: dict | None = None,
+    filter_ids=None,
 ) -> DataFrame:
     """(vec_id, cos|score, rank) — probe the ``n_probe`` nearest cells
     of a persisted IVF index and exact-score ONLY those cells'
@@ -421,7 +521,13 @@ def ivf_query(
     table, keeps the best ``k * overquery`` candidates, then reranks
     those few against full-precision vectors via a vec_id-pushdown
     read (JVectorReader.java:154-182's rerank). ``metrics`` (optional
-    dict) receives bytes-scanned accounting for the compression win."""
+    dict) receives bytes-scanned accounting for the compression win.
+
+    ``filter_ids`` = filtered vector search (Q4 embedding side): the
+    allow-list masks candidates INSIDE the probed-cell scan — cell
+    pruning stays on, and with PQ/SQ the mask applies before the
+    k*overquery cut so filtered-out docs never eat the budget (the
+    acceptDocs-in-graph-search shape, JVectorReader.java:167-182)."""
     qv = np.asarray(query_vec, dtype=np.float64)
     probe = _probe_cells(index_dir, qv, n_probe, space)
     paths = _cell_paths(index_dir, probe)
@@ -431,7 +537,9 @@ def ivf_query(
             [], f"vec_id long, {score_name} double, rank int"
         )
     if not (use_pq or use_sq):
-        scored = _exact_scores(spark, paths, qv, space, score_name)
+        scored = _exact_scores(
+            spark, paths, qv, space, score_name, filter_ids=filter_ids
+        )
         return _rank_topk(scored, k, score_name)
     if use_pq and use_sq:
         raise ValueError("choose one of use_pq / use_sq")
@@ -453,12 +561,9 @@ def ivf_query(
                 b"".join(codes.to_numpy()), dtype=np.uint8
             ).reshape(len(codes), Tm.shape[0])
             dots = adc_scores(Cb, Tm)
-            if space == "cosine":
-                n = norms.to_numpy(dtype=np.float64)
-                return pd.Series(
-                    dots / (np.where(n == 0, 1.0, n) * (qn or 1.0))
-                )
-            return pd.Series(dots)  # l2/ip: ADC dot is the monotone proxy
+            return pd.Series(_proxy_from_dots(
+                dots, norms.to_numpy(dtype=np.float64), qn, space
+            ))
 
         pass1_schema = "vec_id long, norm double, code binary"
         approx_col = approx(F.col("code"), F.col("norm"))
@@ -476,12 +581,9 @@ def ivf_query(
                 b"".join(codes.to_numpy()), dtype=np.int8
             ).reshape(len(codes), len(q))
             dots = sq_scores(Cb, scales.to_numpy(dtype=np.float64), q)
-            if space == "cosine":
-                n = norms.to_numpy(dtype=np.float64)
-                return pd.Series(
-                    dots / (np.where(n == 0, 1.0, n) * (qn or 1.0))
-                )
-            return pd.Series(dots)
+            return pd.Series(_proxy_from_dots(
+                dots, norms.to_numpy(dtype=np.float64), qn, space
+            ))
 
         pass1_schema = (
             "vec_id long, norm double, sq_code binary, sq_scale double"
@@ -491,10 +593,12 @@ def ivf_query(
         )
         approx_cols = ("sq_code", "sq_scale", "norm")
 
-    # pass 1: codes only (column pruning keeps vector bytes on disk)
+    # pass 1: codes only (column pruning keeps vector bytes on disk);
+    # the allow-list masks BEFORE the overquery cut
     cand_df = (
-        spark.read.schema(pass1_schema)
-        .parquet(*paths)
+        _apply_allow(
+            spark.read.schema(pass1_schema).parquet(*paths), filter_ids
+        )
         .select("vec_id", approx_col.alias("a"))
         .orderBy(F.desc("a"), F.asc("vec_id"))
         .limit(k * overquery)
@@ -514,8 +618,65 @@ def ivf_query(
     return _rank_topk(scored, k, score_name)
 
 
+def radial_threshold(
+    space: str, min_score: float | None, max_distance: float | None
+) -> float:
+    """Resolve the radial bound to a score threshold. Exactly one of
+    ``min_score`` / ``max_distance`` (the reference enforces the same
+    exactly-one rule across k/maxDistance/minScore,
+    KNNQueryBuilder.java:93-95,438-472). Distance converts through the
+    SpaceType translations our scores use: l2/l1/linf score = 1/(1+d);
+    cosine is reported as RAW cosine, so max cosine-distance d maps to
+    min cos = 1-d; innerproduct has no distance form (minScore only)."""
+    if (min_score is None) == (max_distance is None):
+        raise ValueError("provide exactly one of min_score / max_distance")
+    if min_score is not None:
+        return float(min_score)
+    if space in ("l2", "l1", "linf"):
+        return 1.0 / (1.0 + float(max_distance))
+    if space == "cosine":
+        return 1.0 - float(max_distance)
+    raise ValueError(f"max_distance undefined for space {space!r}")
+
+
+def ivf_query_radial(
+    spark,
+    index_dir: str,
+    query_vec: list[float],
+    n_probe: int = 4,
+    space: str = "cosine",
+    min_score: float | None = None,
+    max_distance: float | None = None,
+    filter_ids=None,
+) -> DataFrame:
+    """(vec_id, cos|score, rank) — RADIAL search over the probed cells:
+    every vector whose score clears the threshold, ordered best-first
+    (reference: maxDistance/minScore radial queries,
+    KNNQueryBuilder.java:438-472 + RNNQueryFactory.java; the BM25 side
+    already had this as ``bm25_radial``). A ``score >= t`` filter
+    replaces the top-k limit over the same exact probed-cell scoring
+    kernel; like the reference's radial path the result is approximate
+    in the same way IVF top-k is — only probed cells are searched."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    t = radial_threshold(space, min_score, max_distance)
+    probe = _probe_cells(index_dir, qv, n_probe, space)
+    paths = _cell_paths(index_dir, probe)
+    score_name = "cos" if space == "cosine" else "score"
+    if not paths:
+        return spark.createDataFrame(
+            [], f"vec_id long, {score_name} double, rank int"
+        )
+    scored = _exact_scores(
+        spark, paths, qv, space, score_name, filter_ids=filter_ids
+    ).filter(F.col(score_name) >= t)
+    w = Window.orderBy(F.desc(score_name), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).select(
+        "vec_id", F.round(score_name, 6).alias(score_name), "rank"
+    )
+
+
 def _exact_scores(
-    spark, paths, qv, space, score_name, extra_filter=None
+    spark, paths, qv, space, score_name, extra_filter=None, filter_ids=None
 ) -> DataFrame:
     q = F.array(*[F.lit(float(x)) for x in qv])
     qn = F.lit(float(np.linalg.norm(qv)))
@@ -524,6 +685,7 @@ def _exact_scores(
     ).parquet(*paths)
     if extra_filter is not None:
         df = df.filter(extra_filter)
+    df = _apply_allow(df, filter_ids)
     if space == "cosine":
         score = _dot(F.col("v"), q) / (F.col("norm") * qn)
     else:
@@ -572,6 +734,37 @@ def _pq_bytes_metrics(
     }
 
 
+def _np_exact_batch(
+    M: np.ndarray, norms: np.ndarray, Qs: np.ndarray, qnorms: np.ndarray,
+    space: str,
+) -> np.ndarray:
+    """(b, nq) exact scores of a cell batch against its query subset —
+    ONE matmul (or one diff tensor for l1/linf) for ALL of the cell's
+    queries, replacing round-3's per-query python loop."""
+    if space == "cosine":
+        return (M @ Qs.T) / (
+            np.where(norms == 0, 1.0, norms)[:, None]
+            * np.where(qnorms == 0, 1.0, qnorms)[None, :]
+        )
+    if space == "l2":
+        d2 = (
+            (M * M).sum(axis=1)[:, None]
+            - 2.0 * (M @ Qs.T)
+            + (Qs * Qs).sum(axis=1)[None, :]
+        )
+        return 1.0 / (1.0 + np.maximum(d2, 0.0))
+    if space == "innerproduct":
+        ip = M @ Qs.T
+        return np.where(ip >= 0, ip + 1.0, 1.0 / (1.0 - ip))
+    if space == "l1":
+        d1 = np.abs(M[:, None, :] - Qs[None, :, :]).sum(axis=2)
+        return 1.0 / (1.0 + d1)
+    if space == "linf":
+        dm = np.abs(M[:, None, :] - Qs[None, :, :]).max(axis=2)
+        return 1.0 / (1.0 + dm)
+    raise ValueError(f"unknown space {space!r}; supported: {SPACES}")
+
+
 def ivf_query_batch(
     spark,
     index_dir: str,
@@ -579,16 +772,31 @@ def ivf_query_batch(
     k: int,
     n_probe: int = 4,
     space: str = "cosine",
+    use_pq: bool = False,
+    use_sq: bool = False,
+    overquery: int = 4,
+    metrics: dict | None = None,
+    filter_ids=None,
 ) -> DataFrame:
     """(query_id, vec_id, cos|score, rank) for a BATCH of query vectors
-    in ONE Spark job (the bm25_topk_batch analog — round 2 ran one job
-    per query vector). The driver probes the centroid table for every
-    query, unions the probed cell directories into a single pruned
-    scan, ships a broadcast (query matrix, per-cell query lists), and
-    each batch scores ONLY the queries that probed its cell via one
-    numpy matmul. Per-query results are rank-identical to
-    ``ivf_query`` (same probe rule, same float64 math ordering per
-    vector pair)."""
+    in ONE pruned scan (the bm25_topk_batch analog — round 2 ran one
+    job per query vector). The driver probes the centroid table for
+    every query, unions the probed cell directories, ships a broadcast
+    (query matrix, per-cell query lists), and each Arrow batch scores
+    ONLY the queries that probed its cell — one matmul per cell group
+    for ALL of that cell's queries.
+
+    With ``use_pq`` / ``use_sq`` the batch gets the same compression
+    economics as single-query ``ivf_query`` (round-3 verdict: the batch
+    path read full vectors, evaporating the PQ win exactly where it
+    pays most): pass 1 reads ONLY code columns of the probed cells, one
+    ADC gather / int8 matmul per cell group scores all of its queries,
+    each query keeps its best ``k * overquery`` candidates, and ONE
+    second read reranks the union of candidates against full vectors
+    (vec_id pushdown). Per-query results stay rank-identical to
+    ``ivf_query`` (same probe rule, same proxy, same budget).
+    ``metrics`` receives the batch bytes-scanned accounting;
+    ``filter_ids`` masks candidates before any budget (Q4)."""
     qids = [q[0] for q in queries]
     Q = np.array([np.asarray(q[1], dtype=np.float64) for q in queries])
     probes = {
@@ -601,57 +809,196 @@ def ivf_query_batch(
     out_schema = f"query_id string, vec_id long, {score_name} double"
     if not paths:
         return spark.createDataFrame([], out_schema + ", rank int")
+    if use_pq and use_sq:
+        raise ValueError("choose one of use_pq / use_sq")
     cell_to_q: dict[int, list[int]] = {}
     for i, qid in enumerate(qids):
         for c in probes[qid]:
             cell_to_q.setdefault(c, []).append(i)
-    bc = spark.sparkContext.broadcast(
-        {"Q": Q, "qids": qids, "cell_to_q": cell_to_q}
-    )
+    base = os.path.join(index_dir, "cells")
+    qnorms = np.linalg.norm(Q, axis=1)
 
-    def kernel(batches):
-        state = bc.value
+    if not (use_pq or use_sq):
+        bc = spark.sparkContext.broadcast(
+            {"Q": Q, "qids": qids, "cell_to_q": cell_to_q, "qn": qnorms}
+        )
+
+        def kernel(batches):
+            state = bc.value
+            Qm, ids, c2q = state["Q"], state["qids"], state["cell_to_q"]
+            qn = state["qn"]
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                out = {"query_id": [], "vec_id": [], score_name: []}
+                for cell, grp in pdf.groupby("cell"):
+                    idxs = c2q.get(int(cell), [])
+                    if not idxs:
+                        continue
+                    M = _stack_batch(grp["v"], Qm.shape[1])
+                    vids = grp["vec_id"].to_numpy()
+                    norms = grp["norm"].to_numpy(dtype=np.float64)
+                    S = _np_exact_batch(
+                        M, norms, Qm[idxs], qn[idxs], space
+                    )
+                    for j, qi in enumerate(idxs):
+                        out["query_id"].extend([ids[qi]] * len(vids))
+                        out["vec_id"].extend(vids)
+                        out[score_name].extend(S[:, j])
+                yield pd.DataFrame(out)
+
+        scan = (
+            spark.read.schema(
+                "vec_id long, v array<double>, norm double, cell int"
+            )
+            .option("basePath", base)
+            .parquet(*paths)
+        )
+        scored = _apply_allow(scan, filter_ids).mapInPandas(
+            kernel, schema=out_schema
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc(score_name), F.asc("vec_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id", "vec_id",
+                F.round(score_name, 6).alias(score_name), "rank",
+            )
+        )
+
+    # ---- quantized batch: ADC/SQ first pass over codes only ----
+    if use_pq:
+        from .quantize import adc_table, load_codebooks
+
+        codebooks = load_codebooks(index_dir)
+        if codebooks is None:
+            raise ValueError(f"index at {index_dir} was built without pq_m")
+        # (nq, m, n_codes) ADC tables — one per query, built driver-side
+        T_all = np.stack([adc_table(Q[i], codebooks) for i in range(len(Q))])
+        pass1_schema = "vec_id long, norm double, code binary, cell int"
+        approx_cols = ("code", "norm")
+    else:
+        T_all = None
+        pass1_schema = (
+            "vec_id long, norm double, sq_code binary, sq_scale double, "
+            "cell int"
+        )
+        approx_cols = ("sq_code", "sq_scale", "norm")
+
+    budget = k * overquery
+    bc1 = spark.sparkContext.broadcast({
+        "Q": Q, "qids": qids, "cell_to_q": cell_to_q, "qn": qnorms,
+        "T": T_all, "budget": budget,
+    })
+
+    def approx_kernel(batches):
+        from .quantize import sq_scores
+
+        state = bc1.value
         Qm, ids, c2q = state["Q"], state["qids"], state["cell_to_q"]
-        qnorms = np.linalg.norm(Qm, axis=1)
+        qn, T, budget = state["qn"], state["T"], state["budget"]
         for pdf in batches:
             if not len(pdf):
                 continue
-            out = {"query_id": [], "vec_id": [], score_name: []}
+            out = {"query_id": [], "vec_id": [], "a": []}
             for cell, grp in pdf.groupby("cell"):
                 idxs = c2q.get(int(cell), [])
                 if not idxs:
                     continue
-                M = _stack_batch(grp["v"], Qm.shape[1])
                 vids = grp["vec_id"].to_numpy()
                 norms = grp["norm"].to_numpy(dtype=np.float64)
-                for qi in idxs:
-                    qv = Qm[qi]
-                    if space == "cosine":
-                        s = (M @ qv) / (
-                            np.where(norms == 0, 1.0, norms)
-                            * (qnorms[qi] or 1.0)
-                        )
-                    elif space == "l2":
-                        d2 = ((M - qv[None, :]) ** 2).sum(axis=1)
-                        s = 1.0 / (1.0 + d2)
-                    elif space == "innerproduct":
-                        ip = M @ qv
-                        s = np.where(ip >= 0, ip + 1.0, 1.0 / (1.0 - ip))
+                if T is not None:  # PQ: one flat gather per cell group
+                    m, ncodes = T.shape[1], T.shape[2]
+                    Cb = np.frombuffer(
+                        b"".join(grp["code"].to_numpy()), dtype=np.uint8
+                    ).reshape(len(vids), m)
+                    flat_idx = (np.arange(m) * ncodes + Cb).ravel()
+                    lut = T[idxs].reshape(len(idxs), m * ncodes)
+                    dots = lut[:, flat_idx].reshape(
+                        len(idxs), len(vids), m
+                    ).sum(axis=2)  # (nq_c, b)
+                else:  # SQ: one int8->f64 matmul for all queries
+                    Cb = np.frombuffer(
+                        b"".join(grp["sq_code"].to_numpy()), dtype=np.int8
+                    ).reshape(len(vids), Qm.shape[1])
+                    scales = grp["sq_scale"].to_numpy(dtype=np.float64)
+                    dots = (
+                        (Cb.astype(np.float64) @ Qm[idxs].T) * scales[:, None]
+                    ).T  # (nq_c, b)
+                for j, qi in enumerate(idxs):
+                    a = _proxy_from_dots(dots[j], norms, qn[qi], space)
+                    # partial top-k per query per batch bounds the
+                    # shuffle: global budget is a subset of these
+                    if len(a) > budget:
+                        part = np.argpartition(-a, budget)[:budget]
                     else:
-                        raise ValueError(f"unsupported space {space!r}")
-                    out["query_id"].extend([ids[qi]] * len(vids))
-                    out["vec_id"].extend(vids)
-                    out[score_name].extend(s)
+                        part = np.arange(len(a))
+                    out["query_id"].extend([ids[qi]] * len(part))
+                    out["vec_id"].extend(vids[part])
+                    out["a"].extend(a[part])
             yield pd.DataFrame(out)
 
-    scored = (
-        spark.read.schema(
-            "vec_id long, v array<double>, norm double, cell int"
-        )
-        .option("basePath", os.path.join(index_dir, "cells"))
+    scan1 = (
+        spark.read.schema(pass1_schema).option("basePath", base)
         .parquet(*paths)
-        .mapInPandas(kernel, schema=out_schema)
     )
+    approx = _apply_allow(scan1, filter_ids).mapInPandas(
+        approx_kernel, schema="query_id string, vec_id long, a double"
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("a"), F.asc("vec_id"))
+    cand_rows = (
+        approx.withColumn("r", F.row_number().over(w1))
+        .filter(F.col("r") <= budget)
+        .select("query_id", "vec_id")
+        .collect()
+    )
+    if metrics is not None:
+        union_ids = {r["vec_id"] for r in cand_rows}
+        metrics.update(
+            _pq_bytes_metrics(paths, len(union_ids), approx_cols)
+        )
+        metrics["n_queries"] = len(qids)
+    if not cand_rows:
+        return spark.createDataFrame([], out_schema + ", rank int")
+
+    # pass 2: ONE exact read of the candidate union (vec_id pushdown),
+    # each vector scored only for the queries that shortlisted it
+    vid_to_q: dict[int, list[int]] = {}
+    qpos = {qid: i for i, qid in enumerate(qids)}
+    for r in cand_rows:
+        vid_to_q.setdefault(r["vec_id"], []).append(qpos[r["query_id"]])
+    bc2 = spark.sparkContext.broadcast(
+        {"Q": Q, "qids": qids, "qn": qnorms, "v2q": vid_to_q}
+    )
+
+    def rerank_kernel(batches):
+        state = bc2.value
+        Qm, ids, qn, v2q = state["Q"], state["qids"], state["qn"], state["v2q"]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {"query_id": [], "vec_id": [], score_name: []}
+            M = _stack_batch(pdf["v"], Qm.shape[1])
+            vids = pdf["vec_id"].to_numpy()
+            norms = pdf["norm"].to_numpy(dtype=np.float64)
+            S = _np_exact_batch(M, norms, Qm, qn, space)  # (b, nq)
+            for i, vid in enumerate(vids):
+                for qi in v2q.get(int(vid), ()):
+                    out["query_id"].append(ids[qi])
+                    out["vec_id"].append(int(vid))
+                    out[score_name].append(S[i, qi])
+            yield pd.DataFrame(out)
+
+    union = sorted(vid_to_q)
+    scan2 = (
+        spark.read.schema("vec_id long, v array<double>, norm double")
+        .parquet(*paths)
+        .filter(F.col("vec_id").isin(union))
+    )
+    scored = scan2.mapInPandas(rerank_kernel, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.desc(score_name), F.asc("vec_id")
     )
@@ -662,6 +1009,44 @@ def ivf_query_batch(
             "query_id", "vec_id",
             F.round(score_name, 6).alias(score_name), "rank",
         )
+    )
+
+
+def hamming_topk(
+    fingerprints: DataFrame,
+    query_fp: int,
+    k: int,
+    id_col: str = "doc_id",
+    fp_col: str = "simhash",
+    filter_ids=None,
+) -> DataFrame:
+    """(doc_id, hamming, score, rank) top-k nearest packed binary
+    fingerprints by Hamming distance (reference: the hamming scoring
+    space over binary vectors, KNNScoringUtil.calculateHammingBit:
+    179-202, exposed via KNNScoringSpace.java:131-235; score
+    translation 1/(1+distance) like the other distance spaces,
+    SpaceType.java:43-161). Composes with the simhash fingerprint
+    column (operators/dedup.py) — the main binary-vector source in this
+    engine. Pure Catalyst: xor + bit_count, one scan, top-k via
+    TakeOrderedAndProject."""
+    d = fingerprints.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(fp_col).cast("long").alias("fp"),
+    )
+    if filter_ids is not None:
+        d = _apply_allow(d, filter_ids)
+    scored = d.select(
+        "vec_id",
+        F.bit_count(F.col("fp").bitwiseXOR(F.lit(int(query_fp))))
+        .cast("int").alias("hamming"),
+    ).withColumn(
+        "score", F.lit(1.0) / (F.lit(1.0) + F.col("hamming"))
+    )
+    topk = scored.orderBy(F.asc("hamming"), F.asc("vec_id")).limit(k)
+    w = Window.orderBy(F.asc("hamming"), F.asc("vec_id"))
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        F.col("vec_id").alias(id_col), "hamming",
+        F.round("score", 6).alias("score"), "rank",
     )
 
 
