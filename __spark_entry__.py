@@ -316,9 +316,9 @@ def _q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_dir(sf_dir: str) -> str:
-    # v3: k-means-refined centroids + PQ codes + int8 SQ columns
+    # v4: hash-sampled PQ codebooks (order-unbiased training sample)
     return os.path.join(
-        "/tmp/ojs_ivf3", os.path.abspath(sf_dir).strip("/").replace("/", "_")
+        "/tmp/ojs_ivf4", os.path.abspath(sf_dir).strip("/").replace("/", "_")
     )
 
 
@@ -368,13 +368,8 @@ def _q_ann_ivf_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_ann_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-job multi-query IVF (the bm25_topk_batch analog): union the
-    probed cells of every query into a single pruned scan."""
-    from opensearch_jvector_spark.operators.similarity import (
-        cosine_topk_ivf,
-        ivf_query_batch,
-    )
+def _ensure_ivf(spark: SparkSession, sf_dir: str) -> str:
+    from opensearch_jvector_spark.operators.similarity import cosine_topk_ivf
 
     index_dir = _ivf_dir(sf_dir)
     if not os.path.isdir(os.path.join(index_dir, "centroids")):
@@ -383,11 +378,71 @@ def _q_ann_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_centroids=16, n_probe=1, index_dir=index_dir,
             kmeans_iters=1, pq_m=8, sq=True,
         ).collect()
+    return index_dir
+
+
+def _q_ann_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-job multi-query IVF through the QUANTIZED path (round-3
+    verdict: batch read full vectors): ADC-score the PQ codes of the
+    unioned probed cells — one gather per cell group for all of its
+    queries — then one exact rerank read of the per-query candidate
+    unions. overquery=50 makes the rerank exact at this scale, so the
+    oracle is the exact batch-IVF SQL."""
+    from opensearch_jvector_spark.operators.similarity import ivf_query_batch
+
+    index_dir = _ensure_ivf(spark, sf_dir)
     queries = [
         (f"q{i}", _query_vec(spark, sf_dir, vec_id=v))
         for i, v in enumerate(_BATCH_QUERY_IDS)
     ]
-    return ivf_query_batch(spark, index_dir, queries, k=5, n_probe=4)
+    return ivf_query_batch(
+        spark, index_dir, queries, k=5, n_probe=4, use_pq=True, overquery=50
+    )
+
+
+def _q_ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search (Q4 on the embedding side): nearest
+    neighbors among an allow-listed subset — the filter DataFrame
+    semi-joins INSIDE the probed-cell scan (acceptDocs analog,
+    JVectorReader.java:167-182); cell pruning stays on."""
+    from opensearch_jvector_spark.operators.similarity import ivf_query
+
+    index_dir = _ensure_ivf(spark, sf_dir)
+    allow = _embs(spark, sf_dir).filter(
+        F.col("vec_id") % 3 == 0
+    ).select("vec_id")
+    return ivf_query(
+        spark, index_dir, _query_vec(spark, sf_dir), k=10, n_probe=4,
+        filter_ids=allow,
+    )
+
+
+_RADIAL_MIN_COS = 0.15
+
+
+def _q_ann_radial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radial vector search: every probed-cell vector with cos >=
+    threshold, best-first (reference maxDistance/minScore radial,
+    KNNQueryBuilder.java:438-472 / RNNQueryFactory.java)."""
+    from opensearch_jvector_spark.operators.similarity import ivf_query_radial
+
+    index_dir = _ensure_ivf(spark, sf_dir)
+    return ivf_query_radial(
+        spark, index_dir, _query_vec(spark, sf_dir), n_probe=4,
+        min_score=_RADIAL_MIN_COS,
+    )
+
+
+def _q_ann_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-space top-k over packed simhash fingerprints
+    (KNNScoringUtil.calculateHammingBit:179-202): the binary-vector
+    similarity surface, composed with the simhash dedup column."""
+    from opensearch_jvector_spark.operators.dedup import simhash
+    from opensearch_jvector_spark.operators.similarity import hamming_topk
+
+    s = simhash(_docs(spark, sf_dir))
+    qfp = int(s.filter(F.col("doc_id") == 0).first()["simhash"])
+    return hamming_topk(s, qfp, k=10)
 
 
 _BATCH_QUERY_IDS = [0, 7, 21]
@@ -564,6 +619,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_ivf_pq": _q_ann_ivf_pq,
         "ann_cosine_ivf_sq": _q_ann_ivf_sq,
         "ann_ivf_batch": _q_ann_ivf_batch,
+        "ann_cosine_ivf_filtered": _q_ann_ivf_filtered,
+        "ann_radial": _q_ann_radial,
+        "ann_hamming_topk": _q_ann_hamming,
         "ann_l2_topk": _q_ann_space("l2", 10),
         "ann_ip_topk": _q_ann_space("innerproduct", 10),
         "language_id": _q_language_id,
@@ -629,6 +687,15 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_batch": osops.cosine_topk_ivf_batch_sql(
             _BATCH_QUERY_IDS, k=5, n_centroids=16, n_probe=4, kmeans_iters=1
         ),
+        "ann_cosine_ivf_filtered": osops.cosine_topk_ivf_sql(
+            query_vec_id=0, k=10, n_centroids=16, n_probe=4, kmeans_iters=1,
+            filter_where="vec_id % 3 = 0",
+        ),
+        "ann_radial": osops.cosine_radial_ivf_sql(
+            query_vec_id=0, min_score=_RADIAL_MIN_COS, n_centroids=16,
+            n_probe=4, kmeans_iters=1,
+        ),
+        "ann_hamming_topk": osops.hamming_topk_sql(query_doc_id=0, k=10),
         "ann_l2_topk": osops.topk_space_sql(query_vec_id=0, k=10, space="l2"),
         "ann_ip_topk": osops.topk_space_sql(
             query_vec_id=0, k=10, space="innerproduct"

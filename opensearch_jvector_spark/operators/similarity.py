@@ -543,6 +543,10 @@ def ivf_query(
         return _rank_topk(scored, k, score_name)
     if use_pq and use_sq:
         raise ValueError("choose one of use_pq / use_sq")
+    if space not in QUANTIZABLE_SPACES:
+        raise ValueError(
+            f"quantized pass supports {QUANTIZABLE_SPACES}, got {space!r}"
+        )
 
     qn = float(np.linalg.norm(qv))
     if use_pq:
@@ -811,6 +815,10 @@ def ivf_query_batch(
         return spark.createDataFrame([], out_schema + ", rank int")
     if use_pq and use_sq:
         raise ValueError("choose one of use_pq / use_sq")
+    if (use_pq or use_sq) and space not in QUANTIZABLE_SPACES:
+        raise ValueError(
+            f"quantized pass supports {QUANTIZABLE_SPACES}, got {space!r}"
+        )
     cell_to_q: dict[int, list[int]] = {}
     for i, qid in enumerate(qids):
         for c in probes[qid]:
@@ -961,6 +969,18 @@ def ivf_query_batch(
             _pq_bytes_metrics(paths, len(union_ids), approx_cols)
         )
         metrics["n_queries"] = len(qids)
+        # the batch reads the code columns ONCE for all queries and
+        # reranks the (overlapping) candidate union once — the fair
+        # comparison with single-query cost is per-query AMORTIZED
+        # bytes: N single queries each pay the full approx pass
+        metrics["amortized_bytes_per_query"] = int(
+            metrics["bytes_scanned"] / max(1, len(qids))
+        )
+        metrics["amortized_compression_ratio"] = round(
+            metrics["unquantized_bytes"]
+            / max(1, metrics["amortized_bytes_per_query"]),
+            2,
+        )
     if not cand_rows:
         return spark.createDataFrame([], out_schema + ", rank int")
 
@@ -1067,6 +1087,7 @@ def cosine_topk_ivf(
     sq: bool = False,
     overquery: int = 4,
     metrics: dict | None = None,
+    filter_ids=None,
 ) -> DataFrame:
     """IVF top-k. With ``index_dir`` (the production path) the
     persisted index is built once if missing and every query just
@@ -1086,7 +1107,7 @@ def cosine_topk_ivf(
         return ivf_query(
             spark, index_dir, query_vec, k, n_probe, space,
             use_pq=use_pq, use_sq=use_sq, overquery=overquery,
-            metrics=metrics,
+            metrics=metrics, filter_ids=filter_ids,
         )
 
     e = embeddings.select(
@@ -1104,7 +1125,9 @@ def cosine_topk_ivf(
     cand = assign.filter(F.col("cell").isin(probe)).select("vec_id")
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     score_name = "cos" if space == "cosine" else "score"
-    scored = e.join(cand, "vec_id", "left_semi").select(
+    scored = _apply_allow(
+        e.join(cand, "vec_id", "left_semi"), filter_ids
+    ).select(
         "vec_id", space_score_col(F.col("v"), q, space).alias(score_name)
     )
     return _rank_topk(scored, k, score_name)

@@ -238,16 +238,15 @@ cents AS (SELECT c0.cell, COALESCE(mc.c, c0.c) AS c
 nc AS (SELECT cell, c, sqrt(list_dot_product(c, c)) AS cn FROM cents)"""
 
 
-def cosine_topk_ivf_sql(
-    query_vec_id: int,
-    k: int,
-    n_centroids: int = 16,
-    n_probe: int = 4,
-    kmeans_iters: int = 1,
-) -> str:
-    return f"""WITH {_EMB},
-q AS (SELECT v AS qv, norm AS qn FROM ne WHERE vec_id = {query_vec_id}),
-{_ivf_cents_cte(n_centroids, kmeans_iters)},
+def _ivf_probe_cand_cte(n_centroids: int, n_probe: int, kmeans_iters: int,
+                        filter_where: str | None = None) -> str:
+    """Shared probe + assignment + candidate CTEs for the single-query
+    IVF oracles. ``filter_where`` (filtered vector search, Q4 embedding
+    side) restricts the CANDIDATE set — the probe and the assignment
+    are unfiltered, exactly like the engine's acceptDocs mask inside
+    the probed-cell scan."""
+    fw = f" WHERE {filter_where}" if filter_where else ""
+    return f"""{_ivf_cents_cte(n_centroids, kmeans_iters)},
 probe AS (
   SELECT cell FROM nc CROSS JOIN q
   ORDER BY list_dot_product(c, qv) / (cn * qn) DESC, cell ASC
@@ -260,12 +259,61 @@ assign AS (
              ORDER BY list_dot_product(ne.v, nc.c) / (ne.norm * nc.cn) DESC,
                       nc.cell ASC) AS rn
     FROM ne CROSS JOIN nc) WHERE rn = 1),
-cand AS (SELECT vec_id FROM assign JOIN probe USING (cell))
+cand AS (SELECT vec_id FROM assign JOIN probe USING (cell){fw})"""
+
+
+def cosine_topk_ivf_sql(
+    query_vec_id: int,
+    k: int,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    kmeans_iters: int = 1,
+    filter_where: str | None = None,
+) -> str:
+    return f"""WITH {_EMB},
+q AS (SELECT v AS qv, norm AS qn FROM ne WHERE vec_id = {query_vec_id}),
+{_ivf_probe_cand_cte(n_centroids, n_probe, kmeans_iters, filter_where)}
 SELECT vec_id, round(cos, 6) AS cos, rank FROM (
   SELECT ne.vec_id, list_dot_product(v, qv) / (norm * qn) AS cos,
          row_number() OVER (ORDER BY list_dot_product(v, qv) / (norm * qn) DESC,
                             ne.vec_id ASC)::INTEGER AS rank
   FROM ne JOIN cand USING (vec_id) CROSS JOIN q) WHERE rank <= {k}"""
+
+
+def cosine_radial_ivf_sql(
+    query_vec_id: int,
+    min_score: float,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    kmeans_iters: int = 1,
+) -> str:
+    """Oracle for RADIAL vector search over the probed cells: every
+    candidate with cos >= min_score, best-first — the `score >=
+    threshold` filter replacing the top-k limit (reference
+    maxDistance/minScore radial, KNNQueryBuilder.java:438-472)."""
+    return f"""WITH {_EMB},
+q AS (SELECT v AS qv, norm AS qn FROM ne WHERE vec_id = {query_vec_id}),
+{_ivf_probe_cand_cte(n_centroids, n_probe, kmeans_iters)}
+SELECT vec_id, round(cos, 6) AS cos, rank FROM (
+  SELECT ne.vec_id, list_dot_product(v, qv) / (norm * qn) AS cos,
+         row_number() OVER (ORDER BY list_dot_product(v, qv) / (norm * qn) DESC,
+                            ne.vec_id ASC)::INTEGER AS rank
+  FROM ne JOIN cand USING (vec_id) CROSS JOIN q)
+WHERE cos >= {min_score!r}"""
+
+
+def hamming_topk_sql(query_doc_id: int, k: int, bits: int = 32) -> str:
+    """Oracle for hamming-space top-k over packed simhash fingerprints
+    (KNNScoringUtil.calculateHammingBit analog): distance =
+    bit_count(xor), score = 1/(1+distance), ties by doc_id."""
+    return f"""WITH {_simhash_cte(bits)},
+q AS (SELECT simhash AS qfp FROM sim WHERE doc_id = {query_doc_id})
+SELECT doc_id, hamming, round(1.0 / (1.0 + hamming), 6) AS score, rank FROM (
+  SELECT doc_id,
+         bit_count(xor(simhash, qfp))::INTEGER AS hamming,
+         row_number() OVER (ORDER BY bit_count(xor(simhash, qfp)) ASC,
+                            doc_id ASC)::INTEGER AS rank
+  FROM sim CROSS JOIN q) WHERE rank <= {k}"""
 
 
 def cosine_topk_ivf_batch_sql(
@@ -460,7 +508,11 @@ def media_features_sql(n: int, seed: int = 0) -> str:
         # between this int loop and the engine's float64 numpy mean —
         # rounding only introduces HALF_UP-vs-half-even tie mismatches
         rows.append((i, modality, acc / total))
-    vals = ", ".join(f"({i}, '{m}', {v!r})" for i, m, v in rows)
+    # the 'e0' suffix forces DuckDB to LEX the literal as DOUBLE:
+    # a bare decimal literal parses as DECIMAL first and the
+    # DECIMAL->DOUBLE cast drops the 17th significant digit
+    # (observed on duckdb 1.0: 127.03348325837081 -> ...708)
+    vals = ", ".join(f"({i}, '{m}', {v!r}e0)" for i, m, v in rows)
     return (
         "SELECT media_id::BIGINT AS media_id, modality, "
         "mean_val::DOUBLE AS mean_val "
