@@ -60,7 +60,10 @@ class EngineConfig:
     # overquery_factor stub — deleted). On the embedding ANN side the
     # trade is real and the knobs DO exist, where they belong:
     # similarity.ivf_query(use_pq=..., overquery=...) is the literal
-    # overquery+rerank mechanism (quantize.py trains the codebooks).
+    # overquery+rerank mechanism (quantize.py trains the codebooks),
+    # and with overquery=None the budget follows the reference's
+    # dimension-based policy (similarity.rescore_first_pass_k —
+    # RescoreContext.getFirstPassK, RescoreContext.java:82-97).
     # The exact-search-threshold switch (KNNSettings.java:70,87)
     # survives as driver_topk_max_postings.
 

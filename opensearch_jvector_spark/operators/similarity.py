@@ -183,6 +183,28 @@ def _np_space_scores(
     raise ValueError(f"unknown space {space!r}; supported: {SPACES}")
 
 
+def rescore_first_pass_k(k: int, dim: int, overquery: int | None) -> int:
+    """First-pass candidate budget for the quantized rerank — the
+    reference's dimension-based oversampling policy
+    (RescoreContext.getFirstPassK, RescoreContext.java:82-97): when the
+    caller does not supply an overquery factor, dimension picks it
+    (>=1000 -> 1x: high-dim codes are accurate enough; >=768 -> 2x;
+    else 3x) and the result clamps to [MIN_FIRST_PASS_RESULTS=100,
+    MAX_FIRST_PASS_RESULTS=10000]. A caller-supplied ``overquery`` is
+    exact (k * overquery, no clamp) — the userProvided branch."""
+    if overquery is not None:
+        return k * int(overquery)
+    if dim >= 1000:
+        f = 1.0
+    elif dim >= 768:
+        f = 2.0
+    else:
+        f = 3.0
+    import math
+
+    return min(10_000, max(100, math.ceil(k * f)))
+
+
 def _proxy_from_dots(
     dots: np.ndarray, norms: np.ndarray, qn: float, space: str
 ) -> np.ndarray:
@@ -504,7 +526,7 @@ def ivf_query(
     space: str = "cosine",
     use_pq: bool = False,
     use_sq: bool = False,
-    overquery: int = 4,
+    overquery: int | None = None,
     metrics: dict | None = None,
     filter_ids=None,
 ) -> DataFrame:
@@ -598,14 +620,16 @@ def ivf_query(
         approx_cols = ("sq_code", "sq_scale", "norm")
 
     # pass 1: codes only (column pruning keeps vector bytes on disk);
-    # the allow-list masks BEFORE the overquery cut
+    # the allow-list masks BEFORE the overquery cut; the candidate
+    # budget defaults to the dimension-based rescore policy
+    budget = rescore_first_pass_k(k, len(qv), overquery)
     cand_df = (
         _apply_allow(
             spark.read.schema(pass1_schema).parquet(*paths), filter_ids
         )
         .select("vec_id", approx_col.alias("a"))
         .orderBy(F.desc("a"), F.asc("vec_id"))
-        .limit(k * overquery)
+        .limit(budget)
     )
     cand_ids = [r["vec_id"] for r in cand_df.collect()]
     if metrics is not None:
@@ -778,7 +802,7 @@ def ivf_query_batch(
     space: str = "cosine",
     use_pq: bool = False,
     use_sq: bool = False,
-    overquery: int = 4,
+    overquery: int | None = None,
     metrics: dict | None = None,
     filter_ids=None,
 ) -> DataFrame:
@@ -896,7 +920,7 @@ def ivf_query_batch(
         )
         approx_cols = ("sq_code", "sq_scale", "norm")
 
-    budget = k * overquery
+    budget = rescore_first_pass_k(k, Q.shape[1], overquery)
     bc1 = spark.sparkContext.broadcast({
         "Q": Q, "qids": qids, "cell_to_q": cell_to_q, "qn": qnorms,
         "T": T_all, "budget": budget,
@@ -1085,7 +1109,7 @@ def cosine_topk_ivf(
     use_sq: bool = False,
     pq_m: int | None = None,
     sq: bool = False,
-    overquery: int = 4,
+    overquery: int | None = None,
     metrics: dict | None = None,
     filter_ids=None,
 ) -> DataFrame:

@@ -346,6 +346,33 @@ def test_pq_hash_sample_beats_first_n_on_adversarial_order(spark):
     assert np.array_equal(s1, s2)
 
 
+def test_rescore_first_pass_k_dimension_policy():
+    """RescoreContext.getFirstPassK (RescoreContext.java:82-97):
+    dimension picks the default factor (>=1000 -> 1x, >=768 -> 2x,
+    else 3x), clamped to [100, 10000]; caller-supplied overquery is
+    exact."""
+    from opensearch_jvector_spark.operators.similarity import (
+        rescore_first_pass_k,
+    )
+
+    assert rescore_first_pass_k(10, 64, None) == 100      # 30 -> min 100
+    assert rescore_first_pass_k(50, 64, None) == 150      # 3x
+    assert rescore_first_pass_k(50, 768, None) == 100     # 2x -> min 100
+    assert rescore_first_pass_k(200, 800, None) == 400    # 2x
+    assert rescore_first_pass_k(500, 1536, None) == 500   # 1x
+    assert rescore_first_pass_k(9000, 64, None) == 10000  # max cap
+    assert rescore_first_pass_k(10, 64, 8) == 80          # user-exact
+
+
+def test_default_overquery_quantized_smoke(spark, ivf_dir):
+    """overquery=None routes through the dimension policy and still
+    returns k correctly-ranked rows."""
+    q = _qvec(spark, 0)
+    got = ivf_query(spark, ivf_dir, q, 10, n_probe=4, use_pq=True).collect()
+    assert len(got) == 10
+    assert [r.rank for r in got] == list(range(1, 11))
+
+
 def test_np_space_scores_l1_linf():
     M = np.array([[0.0, 0.0], [3.0, 4.0]])
     C = np.array([[0.0, 0.0], [1.0, 1.0]])
