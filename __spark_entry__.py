@@ -433,6 +433,20 @@ def _q_ann_radial(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_ivf_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The driver-side ANN fast path (pyarrow probed-cell read + numpy
+    matmul, zero Spark jobs — the exact-search-threshold switch,
+    KNNSettings.java:70, applied to job dispatch): must stay
+    rank-identical to the distributed exact IVF query (same oracle)."""
+    from opensearch_jvector_spark.operators.similarity import ivf_query_local
+
+    index_dir = _ensure_ivf(spark, sf_dir)
+    pdf = ivf_query_local(
+        index_dir, _query_vec(spark, sf_dir), k=10, n_probe=4
+    )
+    return spark.createDataFrame(pdf, "vec_id long, cos double, rank int")
+
+
 def _q_ann_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hamming-space top-k over packed simhash fingerprints
     (KNNScoringUtil.calculateHammingBit:179-202): the binary-vector
@@ -620,6 +634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_ivf_sq": _q_ann_ivf_sq,
         "ann_ivf_batch": _q_ann_ivf_batch,
         "ann_cosine_ivf_filtered": _q_ann_ivf_filtered,
+        "ann_cosine_ivf_local": _q_ann_ivf_local,
         "ann_radial": _q_ann_radial,
         "ann_hamming_topk": _q_ann_hamming,
         "ann_l2_topk": _q_ann_space("l2", 10),
@@ -690,6 +705,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_ivf_filtered": osops.cosine_topk_ivf_sql(
             query_vec_id=0, k=10, n_centroids=16, n_probe=4, kmeans_iters=1,
             filter_where="vec_id % 3 = 0",
+        ),
+        "ann_cosine_ivf_local": osops.cosine_topk_ivf_sql(
+            query_vec_id=0, k=10, n_centroids=16, n_probe=4, kmeans_iters=1
         ),
         "ann_radial": osops.cosine_radial_ivf_sql(
             query_vec_id=0, min_score=_RADIAL_MIN_COS, n_centroids=16,

@@ -373,6 +373,109 @@ def test_default_overquery_quantized_smoke(spark, ivf_dir):
     assert [r.rank for r in got] == list(range(1, 11))
 
 
+# --------------------------------------- driver-local path + append
+
+
+def test_ivf_query_local_rank_identical(spark, ivf_dir):
+    """The driver fast path (BM25 _local_topk transplanted to vectors,
+    KNNSettings.java:70 exact-search-threshold analog) must reproduce
+    the distributed result: same probe, same ordering, scores within
+    float64 ulps."""
+    from opensearch_jvector_spark.operators.similarity import (
+        ivf_query_local,
+    )
+
+    q = _qvec(spark, 0)
+    dist = [
+        (r.vec_id, r.cos, r.rank)
+        for r in ivf_query(spark, ivf_dir, q, 10, n_probe=4).collect()
+    ]
+    loc = ivf_query_local(ivf_dir, q, 10, n_probe=4)
+    assert list(loc["vec_id"]) == [d[0] for d in dist]
+    assert list(loc["rank"]) == [d[2] for d in dist]
+    assert all(
+        abs(a - d[1]) <= 1e-6 for a, d in zip(loc["cos"], dist)
+    )
+
+    # radial parity
+    rad = [
+        r.vec_id
+        for r in ivf_query_radial(
+            spark, ivf_dir, q, n_probe=4, min_score=0.15
+        ).collect()
+    ]
+    loc_rad = ivf_query_local(ivf_dir, q, 10, n_probe=4, min_score=0.15)
+    assert list(loc_rad["vec_id"]) == rad
+
+    # filtered parity (iterable mask)
+    allow = [
+        r.vec_id
+        for r in _emb(spark).filter(F.col("vec_id") % 3 == 0)
+        .select("vec_id").collect()
+    ]
+    distf = [
+        r.vec_id
+        for r in ivf_query(
+            spark, ivf_dir, q, 10, n_probe=4, filter_ids=allow
+        ).collect()
+    ]
+    locf = ivf_query_local(ivf_dir, q, 10, n_probe=4, filter_ids=allow)
+    assert list(locf["vec_id"]) == distf
+
+    # driver-memory guard
+    with pytest.raises(ValueError):
+        ivf_query_local(ivf_dir, q, 10, n_probe=4, max_bytes=16)
+
+
+def test_ivf_append_incremental(spark, tmp_path):
+    """ANN incremental maintenance (buildAndMergeNewNodes /
+    codebook-reuse analog): append assigns new vectors to existing
+    centroids and encodes with existing codebooks — no rebuild. After
+    append, probe-all equals brute force over the FULL corpus, the PQ
+    path stays rerank-exact, and the driver-local cache invalidates
+    via the cell-directory signature."""
+    from opensearch_jvector_spark.operators.similarity import (
+        ivf_append,
+        ivf_query_local,
+    )
+
+    embs = _emb(spark)
+    d = str(tmp_path / "ivfapp")
+    base = embs.filter(F.col("vec_id") < 300)
+    tail = embs.filter(F.col("vec_id") >= 300)
+    ivf_build(base, d, n_centroids=8, kmeans_iters=1, pq_m=8, sq=True)
+    q = _qvec(spark, 7)
+
+    # warm the local cache on the BASE index, then append
+    pre = ivf_query_local(d, q, 10, n_probe=8)
+    assert all(v < 300 for v in pre["vec_id"])
+    r = ivf_append(spark, d, tail)
+    assert r["appended"] == embs.count() - 300
+
+    exact = [
+        (r.vec_id, round(r.score, 6))
+        for r in topk_bruteforce(embs, q, 10, "cosine").collect()
+    ]
+    got = [
+        (r.vec_id, round(r.cos, 6))
+        for r in ivf_query(spark, d, q, 10, n_probe=8).collect()
+    ]
+    assert got == exact  # probe-all == brute force incl. appended docs
+
+    pq_got = [
+        (r.vec_id, round(r.cos, 6))
+        for r in ivf_query(
+            spark, d, q, 10, n_probe=8, use_pq=True, overquery=500
+        ).collect()
+    ]
+    assert pq_got == exact  # appended codes decode against old codebooks
+
+    # local cache saw the signature change
+    post = ivf_query_local(d, q, 10, n_probe=8)
+    assert [(int(v), round(float(c), 6)) for v, c in
+            zip(post["vec_id"], post["cos"])] == exact
+
+
 def test_np_space_scores_l1_linf():
     M = np.array([[0.0, 0.0], [3.0, 4.0]])
     C = np.array([[0.0, 0.0], [1.0, 1.0]])
