@@ -315,6 +315,30 @@ def _q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: fixed child fanout for the nested entries — 500 sf0.01 vectors
+#: become 100 parents of 5 child vectors each (Lucene block-join's
+#: contiguous-children invariant on vec_id)
+_NESTED_CPP = 5
+
+
+def _q_ann_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opensearch_jvector_spark.operators.nested import nested_topk
+
+    return nested_topk(
+        _embs(spark, sf_dir), _query_vec(spark, sf_dir), k=10,
+        children_per_parent=_NESTED_CPP, score_name="cos",
+    )
+
+
+def _q_ann_nested_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opensearch_jvector_spark.operators.nested import nested_expand
+
+    return nested_expand(
+        _embs(spark, sf_dir), _query_vec(spark, sf_dir), k=5,
+        children_per_parent=_NESTED_CPP, score_name="cos",
+    )
+
+
 def _ivf_dir(sf_dir: str) -> str:
     # v4: hash-sampled PQ codebooks (order-unbiased training sample)
     return os.path.join(
@@ -639,6 +663,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_hamming_topk": _q_ann_hamming,
         "ann_l2_topk": _q_ann_space("l2", 10),
         "ann_ip_topk": _q_ann_space("innerproduct", 10),
+        "ann_nested_topk": _q_ann_nested,
+        "ann_nested_expand": _q_ann_nested_expand,
         "language_id": _q_language_id,
         "quality_score": _q_quality,
         "token_counts": _q_token_counts,
@@ -717,6 +743,12 @@ def oracle_sql() -> dict[str, str]:
         "ann_l2_topk": osops.topk_space_sql(query_vec_id=0, k=10, space="l2"),
         "ann_ip_topk": osops.topk_space_sql(
             query_vec_id=0, k=10, space="innerproduct"
+        ),
+        "ann_nested_topk": osops.nested_topk_sql(
+            query_vec_id=0, k=10, cpp=_NESTED_CPP
+        ),
+        "ann_nested_expand": osops.nested_expand_sql(
+            query_vec_id=0, k=5, cpp=_NESTED_CPP
         ),
         "language_id": osops.language_id_sql(),
         "quality_score": osops.quality_score_sql(),

@@ -205,6 +205,49 @@ SELECT vec_id, round(score, 6) AS score, rank FROM (
   FROM ne CROSS JOIN q) WHERE rank <= {k}"""
 
 
+def _nested_best_cte(query_vec_id: int, cpp: int) -> str:
+    """Shared CTEs for nested search: exact cosine per child, each
+    parent's best child (highest cos, tie -> lowest vec_id) — the
+    diversifying-children semantics of the nested knn query."""
+    return f"""{_EMB},
+q AS (SELECT v AS qv, norm AS qn FROM ne WHERE vec_id = {query_vec_id}),
+scored AS (SELECT vec_id, CAST(FLOOR(vec_id / {cpp}) AS BIGINT) AS parent_id,
+                  list_dot_product(v, qv) / (norm * qn) AS cos
+           FROM ne CROSS JOIN q),
+best AS (SELECT parent_id, vec_id, cos,
+                row_number() OVER (PARTITION BY parent_id
+                                   ORDER BY cos DESC, vec_id ASC) AS rn
+         FROM scored)"""
+
+
+def nested_topk_sql(query_vec_id: int, k: int, cpp: int) -> str:
+    """Top-k parents by best-child cosine (nested knn,
+    InternalNestedKnnVectorQuery): (parent_id, vec_id=best child,
+    cos, rank)."""
+    return f"""WITH {_nested_best_cte(query_vec_id, cpp)}
+SELECT parent_id, vec_id, round(cos, 6) AS cos, rank FROM (
+  SELECT parent_id, vec_id, cos,
+         row_number() OVER (ORDER BY cos DESC, parent_id ASC)::INTEGER AS rank
+  FROM best WHERE rn = 1) WHERE rank <= {k}"""
+
+
+def nested_expand_sql(query_vec_id: int, k: int, cpp: int) -> str:
+    """All children of the top-k parents, each exactly scored
+    (ExpandNestedDocsQuery.java:40-47): (parent_id, vec_id, cos,
+    parent_rank, child_rank)."""
+    return f"""WITH {_nested_best_cte(query_vec_id, cpp)},
+winners AS (SELECT parent_id, parent_rank FROM (
+  SELECT parent_id,
+         row_number() OVER (ORDER BY cos DESC, parent_id ASC)::INTEGER
+           AS parent_rank
+  FROM best WHERE rn = 1) WHERE parent_rank <= {k})
+SELECT s.parent_id, s.vec_id, round(s.cos, 6) AS cos, w.parent_rank,
+       row_number() OVER (PARTITION BY s.parent_id
+                          ORDER BY s.cos DESC, s.vec_id ASC)::INTEGER
+         AS child_rank
+FROM scored s JOIN winners w USING (parent_id)"""
+
+
 # one Lloyd iteration on the first-N seed centroids: assign by argmax
 # cosine, re-center on the mean of unit vectors, empty cells keep their
 # seed — mirrors similarity._kmeans_refine exactly (zero-norm vectors
