@@ -321,6 +321,58 @@ def _q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NESTED_CPP = 5
 
 
+def _q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: the reference serves the knn clause of
+    OpenSearch's ``hybrid`` compound query and the enclosing pipeline
+    fuses it with the lexical clause; here both halves are ours, so
+    the entry fuses the BM25 top-20 with the cosine top-20 by
+    Reciprocal Rank Fusion (vec_id == doc_id in the testdata)."""
+    from opensearch_jvector_spark.operators.hybrid import rrf_fuse
+    from opensearch_jvector_spark.operators.similarity import (
+        topk_bruteforce,
+    )
+    from opensearch_jvector_spark.operators.wand import bm25_topk
+
+    bm = bm25_topk(spark, _index_for(spark, sf_dir), ["spark", "merge"], 20)
+    ann = topk_bruteforce(
+        _embs(spark, sf_dir), _query_vec(spark, sf_dir), 20, "cosine",
+        score_name="cos",
+    ).withColumnRenamed("vec_id", "doc_id")
+    return rrf_fuse({"bm25": bm, "ann": ann}, k=10)
+
+
+#: ids tombstoned by the ann_after_delete entry (vec 0 is the query
+#: vector itself — rank 1 before the delete, so the mask visibly
+#: reshapes the result)
+_DELETED_VEC_IDS = (0, 1, 2)
+
+
+def _q_ann_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN after deletes: tombstoned ids are masked out of every query
+    path immediately (Lucene liveDocs model — deletes are metadata
+    until ivf_compact_deletes rewrites the affected cells). Runs the
+    PQ path so the deny provably applies BEFORE the overquery budget.
+    Own index dir (the shared one must stay immutable); the
+    content-addressed tombstone makes re-runs idempotent."""
+    from opensearch_jvector_spark.operators.similarity import (
+        ivf_build,
+        ivf_delete,
+        ivf_query,
+    )
+
+    d = _ivf_dir(sf_dir) + "_del"
+    if not os.path.isdir(os.path.join(d, "centroids")):
+        ivf_build(
+            _embs(spark, sf_dir), d, n_centroids=16, kmeans_iters=1,
+            pq_m=8, sq=True,
+        )
+    ivf_delete(d, _DELETED_VEC_IDS)
+    return ivf_query(
+        spark, d, _query_vec(spark, sf_dir), k=10, n_probe=4,
+        use_pq=True, overquery=50,
+    )
+
+
 def _q_ann_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     from opensearch_jvector_spark.operators.nested import nested_topk
 
@@ -665,6 +717,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ip_topk": _q_ann_space("innerproduct", 10),
         "ann_nested_topk": _q_ann_nested,
         "ann_nested_expand": _q_ann_nested_expand,
+        "ann_after_delete": _q_ann_after_delete,
+        "hybrid_rrf": _q_hybrid_rrf,
         "language_id": _q_language_id,
         "quality_score": _q_quality,
         "token_counts": _q_token_counts,
@@ -749,6 +803,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_nested_expand": osops.nested_expand_sql(
             query_vec_id=0, k=5, cpp=_NESTED_CPP
+        ),
+        # deletes == an allow-filter of the live set over the same
+        # probed cells (the PQ rerank recovers exactness at this scale)
+        "ann_after_delete": osops.cosine_topk_ivf_sql(
+            query_vec_id=0, k=10, n_centroids=16, n_probe=4,
+            kmeans_iters=1,
+            filter_where="vec_id NOT IN ({})".format(
+                ", ".join(map(str, _DELETED_VEC_IDS))
+            ),
+        ),
+        "hybrid_rrf": osops.hybrid_rrf_sql(
+            ["spark", "merge"], query_vec_id=0, n_each=20, k=10
         ),
         "language_id": osops.language_id_sql(),
         "quality_score": osops.quality_score_sql(),

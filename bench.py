@@ -318,6 +318,40 @@ def _run_ann(spark, scratch: str) -> dict:
     lat.sort()
     out["local_ms_per_op_p50"] = round(1000 * lat[len(lat) // 2], 3)
     out["local_ms_per_op_mean"] = round(1000 * sum(lat) / len(lat), 3)
+
+    # maintenance: tombstone 0.5% of the vectors (liveDocs masking),
+    # query through the deny mask, compact ONLY the affected cells,
+    # query again (cold = re-warm of rewritten cells, then warm)
+    from opensearch_jvector_spark.operators.similarity import (
+        ivf_compact_deletes,
+        ivf_delete,
+    )
+
+    dead = list(range(ANN_QUERIES, ANN_QUERIES + ANN_DOCS // 200))
+    qv = qs[0][1]
+    t0 = time.perf_counter()
+    ivf_delete(index_dir, dead)
+    out["delete_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    ivf_query_local(index_dir, qv, 10, n_probe=8)
+    out["local_ms_after_delete"] = round(
+        1000 * (time.perf_counter() - t0), 3
+    )
+    t0 = time.perf_counter()
+    st = ivf_compact_deletes(spark, index_dir)
+    out["compact_sec"] = round(time.perf_counter() - t0, 2)
+    out["compact_cells"] = st["compacted_cells"]
+    t0 = time.perf_counter()
+    ivf_query_local(index_dir, qv, 10, n_probe=8)
+    out["local_ms_after_compact_cold"] = round(
+        1000 * (time.perf_counter() - t0), 3
+    )
+    t0 = time.perf_counter()
+    r = ivf_query_local(index_dir, qv, 10, n_probe=8)
+    out["local_ms_after_compact_warm"] = round(
+        1000 * (time.perf_counter() - t0), 3
+    )
+    assert len(r) == 10
     return out
 
 

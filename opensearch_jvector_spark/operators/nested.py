@@ -42,6 +42,7 @@ from .similarity import (
     _apply_allow,
     _as_double,
     _cell_paths,
+    _deny_info,
     _exact_scores,
     _probe_cells,
     space_score_col,
@@ -241,8 +242,10 @@ def ivf_query_nested(
             + ("parent_rank int, child_rank int" if expand else "rank int")
         )
         return spark.createDataFrame([], schema)
+    deny = _deny_info(index_dir)
     scored = _exact_scores(
-        spark, paths, qv, space, score_name, filter_ids=filter_ids
+        spark, paths, qv, space, score_name, filter_ids=filter_ids,
+        deny=deny,
     ).withColumn("parent_id", parent_col(children_per_parent))
     winners = _rank_parents(_best_child(scored, score_name), k, score_name)
     if not expand:
@@ -271,6 +274,7 @@ def ivf_query_nested(
         score_name,
         extra_filter=pred,
         filter_ids=filter_ids,
+        deny=deny,
     ).withColumn("parent_id", parent_col(children_per_parent))
     w = Window.partitionBy("parent_id").orderBy(
         F.desc(score_name), F.asc("vec_id")

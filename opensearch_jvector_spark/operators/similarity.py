@@ -574,6 +574,7 @@ def ivf_query(
     qv = np.asarray(query_vec, dtype=np.float64)
     probe = _probe_cells(index_dir, qv, n_probe, space)
     paths = _cell_paths(index_dir, probe)
+    deny = _deny_info(index_dir)  # tombstoned ids never match (liveDocs)
     score_name = "cos" if space == "cosine" else "score"
     if not paths:
         return spark.createDataFrame(
@@ -581,7 +582,8 @@ def ivf_query(
         )
     if not (use_pq or use_sq):
         scored = _exact_scores(
-            spark, paths, qv, space, score_name, filter_ids=filter_ids
+            spark, paths, qv, space, score_name, filter_ids=filter_ids,
+            deny=deny,
         )
         return _rank_topk(scored, k, score_name)
     if use_pq and use_sq:
@@ -645,8 +647,11 @@ def ivf_query(
     # budget defaults to the dimension-based rescore policy
     budget = rescore_first_pass_k(k, len(qv), overquery)
     cand_df = (
-        _apply_allow(
-            spark.read.schema(pass1_schema).parquet(*paths), filter_ids
+        _apply_deny(
+            _apply_allow(
+                spark.read.schema(pass1_schema).parquet(*paths), filter_ids
+            ),
+            deny,
         )
         .select("vec_id", approx_col.alias("a"))
         .orderBy(F.desc("a"), F.asc("vec_id"))
@@ -716,7 +721,8 @@ def ivf_query_radial(
             [], f"vec_id long, {score_name} double, rank int"
         )
     scored = _exact_scores(
-        spark, paths, qv, space, score_name, filter_ids=filter_ids
+        spark, paths, qv, space, score_name, filter_ids=filter_ids,
+        deny=_deny_info(index_dir),
     ).filter(F.col(score_name) >= t)
     w = Window.orderBy(F.desc(score_name), F.asc("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w)).select(
@@ -725,7 +731,8 @@ def ivf_query_radial(
 
 
 def _exact_scores(
-    spark, paths, qv, space, score_name, extra_filter=None, filter_ids=None
+    spark, paths, qv, space, score_name, extra_filter=None,
+    filter_ids=None, deny=None,
 ) -> DataFrame:
     q = F.array(*[F.lit(float(x)) for x in qv])
     qn = F.lit(float(np.linalg.norm(qv)))
@@ -734,7 +741,7 @@ def _exact_scores(
     ).parquet(*paths)
     if extra_filter is not None:
         df = df.filter(extra_filter)
-    df = _apply_allow(df, filter_ids)
+    df = _apply_deny(_apply_allow(df, filter_ids), deny)
     if space == "cosine":
         score = _dot(F.col("v"), q) / (F.col("norm") * qn)
     else:
@@ -854,6 +861,7 @@ def ivf_query_batch(
     }
     all_cells = sorted({c for ps in probes.values() for c in ps})
     paths = _cell_paths(index_dir, all_cells)
+    deny = _deny_info(index_dir)  # tombstoned ids never match (liveDocs)
     score_name = "cos" if space == "cosine" else "score"
     out_schema = f"query_id string, vec_id long, {score_name} double"
     if not paths:
@@ -910,9 +918,9 @@ def ivf_query_batch(
             .option("basePath", base)
             .parquet(*paths)
         )
-        scored = _apply_allow(scan, filter_ids).mapInPandas(
-            kernel, schema=out_schema
-        )
+        scored = _apply_deny(
+            _apply_allow(scan, filter_ids), deny
+        ).mapInPandas(kernel, schema=out_schema)
         w = Window.partitionBy("query_id").orderBy(
             F.desc(score_name), F.asc("vec_id")
         )
@@ -1004,7 +1012,7 @@ def ivf_query_batch(
         spark.read.schema(pass1_schema).option("basePath", base)
         .parquet(*paths)
     )
-    approx = _apply_allow(scan1, filter_ids).mapInPandas(
+    approx = _apply_deny(_apply_allow(scan1, filter_ids), deny).mapInPandas(
         approx_kernel, schema="query_id string, vec_id long, a double"
     )
     w1 = Window.partitionBy("query_id").orderBy(F.desc("a"), F.asc("vec_id"))
@@ -1187,6 +1195,16 @@ def ivf_query_local(
     ids = np.concatenate([x[0] for x in loaded])
     M = np.vstack([x[1] for x in loaded])
     norms = np.concatenate([x[2] for x in loaded])
+    n_tomb, tomb_ids = _tombstone_info(index_dir)
+    if n_tomb:
+        if tomb_ids is None:
+            raise ValueError(
+                f"{n_tomb} tombstones exceed the driver-path id budget "
+                f"({_TOMB_ISIN_MAX}); use the distributed ivf_query or "
+                "run ivf_compact_deletes"
+            )
+        live = ~np.isin(ids, tomb_ids)
+        ids, M, norms = ids[live], M[live], norms[live]
     if filter_ids is not None:
         mask = np.isin(ids, np.fromiter((int(x) for x in filter_ids),
                                         dtype=np.int64))
@@ -1290,6 +1308,187 @@ def ivf_append(
         .parquet(cells_dir)
     )
     return {"appended": int(n)}
+
+
+# ------------------------------------------------ deletes (tombstones)
+
+#: tombstone sets up to this size become an isin predicate in query
+#: plans; larger sets anti-join against the tombstone parquet instead
+#: (no driver materialization)
+_TOMB_ISIN_MAX = 100_000
+
+_TOMB_CACHE: dict[str, tuple] = {}
+
+
+def _tombstone_info(index_dir: str) -> tuple[int, np.ndarray | None]:
+    """(n_tombstoned, ids|None) — ids materialize driver-side only when
+    the set is small enough for an In() predicate; above that only the
+    footer row count is read and queries anti-join the tombstone files.
+    Cached on the tombstone directory's file signature, so deletes and
+    compactions invalidate naturally."""
+    d = os.path.join(index_dir, "tombstones")
+    if not os.path.isdir(d):
+        return 0, None
+    sig = _cell_dir_sig(d)
+    hit = _TOMB_CACHE.get(index_dir)
+    if hit is not None and hit[0] == sig:
+        return hit[1], hit[2]
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    files = [
+        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+    ]
+    n = sum(papq.ParquetFile(p).metadata.num_rows for p in files)
+    ids = None
+    if n and n <= _TOMB_ISIN_MAX:
+        t = pa.concat_tables([papq.read_table(p) for p in files])
+        ids = np.unique(np.asarray(t["vec_id"].to_pylist(), dtype=np.int64))
+        n = len(ids)  # overlapping delete batches dedupe here
+    _TOMB_CACHE[index_dir] = (sig, n, ids)
+    return n, ids
+
+
+def _deny_info(index_dir: str):
+    """Deny handle for query plans, or None when nothing is deleted."""
+    n, ids = _tombstone_info(index_dir)
+    return (n, ids, index_dir) if n else None
+
+
+def _apply_deny(df: DataFrame, deny) -> DataFrame:
+    """Mask tombstoned ids out of a candidate scan — the liveDocs/
+    acceptDocs deny side of filtered search (Lucene deletes are per-
+    segment bitmaps consulted during search until a merge drops the
+    rows; our tombstones play that role until ivf_compact_deletes).
+    Small sets inline as a NOT In() predicate; large sets LEFT ANTI
+    join the tombstone parquet (AQE broadcasts while it fits, and a
+    huge deny set stays a shuffled anti join instead of a driver
+    collect)."""
+    if deny is None:
+        return df
+    _n, ids, index_dir = deny
+    if ids is not None:
+        return df.filter(~F.col("vec_id").isin([int(x) for x in ids]))
+    tombs = (
+        df.sparkSession.read.schema("vec_id long")
+        .parquet(os.path.join(index_dir, "tombstones"))
+        .distinct()
+    )
+    return df.join(tombs, "vec_id", "left_anti")
+
+
+def ivf_delete(index_dir: str, vec_ids) -> dict:
+    """Tombstone vectors in a persisted IVF index. Nothing is rewritten
+    at delete time — queries mask the ids immediately (Lucene's
+    liveDocs model: deletes are metadata until a merge), and
+    ``ivf_compact_deletes`` later rewrites only the affected cells.
+
+    The tombstone file name is derived from the SORTED ID CONTENT, not
+    a counter — repeating a delete is a no-op and a crash-retry can
+    never pair a stale file with new ids (the fold_deltas
+    content-addressing rule, round-3 ADVICE on compaction name reuse).
+
+    Note: while a tombstone stands, an ``ivf_append`` of the same
+    vec_id stays masked — ids never resurrect until compaction clears
+    the ledger, matching the reference where a deleted docid never
+    comes back (new docs get new ids)."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    ids = sorted({int(x) for x in vec_ids})
+    if not ids:
+        raise ValueError("ivf_delete needs at least one vec_id")
+    digest = hashlib.sha1(
+        ",".join(map(str, ids)).encode()
+    ).hexdigest()[:16]
+    d = os.path.join(index_dir, "tombstones")
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, f"tomb_{digest}.parquet")
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        papq.write_table(
+            pa.table({"vec_id": pa.array(ids, pa.int64())}), tmp
+        )
+        os.replace(tmp, path)
+    return {"tombstoned": len(ids), "tombstone": path}
+
+
+def ivf_compact_deletes(spark, index_dir: str) -> dict:
+    """Physically drop tombstoned vectors by rewriting ONLY the cells
+    that contain them (the merge-drops-deletes step; affected-chunk
+    compaction like the BM25 side's compact_deletes). Steps:
+
+      1. a column-pruned (vec_id, cell) scan of the cells tree finds
+         the affected cells and the per-cell removal counts;
+      2. one job reads just those cell directories (full schema — PQ/SQ
+         columns survive untouched), anti-joins the tombstones, and
+         writes a staging tree partitioned by cell;
+      3. each affected cell directory is swapped for its staged
+         replacement (a fully-deleted cell is removed);
+      4. the tombstone ledger is cleared LAST — a crash anywhere
+         earlier leaves tombstones standing, queries stay correct, and
+         re-running compaction is idempotent (an already-rewritten
+         cell simply no longer matches).
+
+    Untouched cells are never read past their vec_id column and never
+    rewritten; centroids are untouched (deletes do not re-center,
+    mirroring the reference's graph being rebuilt only on merge)."""
+    import shutil
+
+    n, ids = _tombstone_info(index_dir)
+    if n == 0:
+        return {"compacted_cells": 0, "removed": 0}
+    deny = (n, ids, index_dir)
+    cells_dir = os.path.join(index_dir, "cells")
+
+    scan = (
+        spark.read.schema("vec_id long, cell int")
+        .option("basePath", cells_dir)
+        .parquet(cells_dir)
+    )
+    if ids is not None:
+        hits = scan.filter(F.col("vec_id").isin([int(x) for x in ids]))
+    else:
+        tombs = (
+            spark.read.schema("vec_id long")
+            .parquet(os.path.join(index_dir, "tombstones"))
+            .distinct()
+        )
+        hits = scan.join(tombs, "vec_id", "left_semi")
+    per_cell = {
+        int(r["cell"]): int(r["n"])
+        for r in hits.groupBy("cell").agg(F.count("*").alias("n")).collect()
+    }
+    affected = sorted(per_cell)
+    removed = sum(per_cell.values())
+    if affected:
+        paths = _cell_paths(index_dir, affected)
+        kept = _apply_deny(
+            spark.read.option("basePath", cells_dir).parquet(*paths), deny
+        )
+        staging = os.path.join(
+            index_dir, f"cells_compact_{abs(hash(tuple(affected))):x}"
+        )
+        (
+            kept.repartition("cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(staging)
+        )
+        for c in affected:
+            old = os.path.join(cells_dir, f"cell={c}")
+            new = os.path.join(staging, f"cell={c}")
+            trash = old + ".trash"
+            os.rename(old, trash)
+            if os.path.isdir(new):
+                os.rename(new, old)
+            shutil.rmtree(trash)
+        shutil.rmtree(staging, ignore_errors=True)
+    # clear the ledger last (see crash-safety note above)
+    shutil.rmtree(os.path.join(index_dir, "tombstones"))
+    return {"compacted_cells": len(affected), "removed": removed}
 
 
 def hamming_topk(

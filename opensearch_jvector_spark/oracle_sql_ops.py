@@ -248,6 +248,49 @@ SELECT s.parent_id, s.vec_id, round(s.cos, 6) AS cos, w.parent_rank,
 FROM scored s JOIN winners w USING (parent_id)"""
 
 
+def _hybrid_lists_cte(
+    terms: list[str], query_vec_id: int, n_each: int
+) -> str:
+    """CTE chain ending in bm(doc_id, rank) + ann(doc_id, rank): the
+    two top-n_each source lists a hybrid query fuses (BM25 over
+    documents, cosine over embeddings; vec_id == doc_id in the
+    testdata)."""
+    from .oracle_sql import bm25_cte
+
+    return f"""{bm25_cte(terms)},
+emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+nemb AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM emb),
+qv AS (SELECT v AS qv, norm AS qn FROM nemb WHERE vec_id = {query_vec_id}),
+bm AS (SELECT doc_id, rank FROM (
+  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+  FROM scored) WHERE rank <= {n_each}),
+ann AS (SELECT vec_id AS doc_id, rank FROM (
+  SELECT vec_id,
+         row_number() OVER (
+           ORDER BY list_dot_product(v, qv) / (norm * qn) DESC,
+                    vec_id ASC) AS rank
+  FROM nemb CROSS JOIN qv) WHERE rank <= {n_each})"""
+
+
+def hybrid_rrf_sql(
+    terms: list[str], query_vec_id: int, n_each: int, k: int,
+    rrf_k: int = 60,
+) -> str:
+    """Reciprocal Rank Fusion of the BM25 and cosine top-n_each lists:
+    score = sum 1/(rrf_k + rank) over the sources holding the doc.
+    Rank-based, so bit-identical across engines."""
+    return f"""{_hybrid_lists_cte(terms, query_vec_id, n_each)},
+contrib AS (
+  SELECT doc_id, 1.0 / ({rrf_k} + rank) AS c FROM bm
+  UNION ALL
+  SELECT doc_id, 1.0 / ({rrf_k} + rank) AS c FROM ann)
+SELECT doc_id, round(score, 6) AS score, rank FROM (
+  SELECT doc_id, sum(c) AS score,
+         row_number() OVER (ORDER BY sum(c) DESC, doc_id ASC)::INTEGER
+           AS rank
+  FROM contrib GROUP BY doc_id) WHERE rank <= {k}"""
+
+
 # one Lloyd iteration on the first-N seed centroids: assign by argmax
 # cosine, re-center on the mean of unit vectors, empty cells keep their
 # seed — mirrors similarity._kmeans_refine exactly (zero-norm vectors
