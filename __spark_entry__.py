@@ -341,6 +341,26 @@ def _q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse({"bm25": bm, "ann": ann}, k=10)
 
 
+def _q_hybrid_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-max weighted linear fusion of the same two lists. Emits
+    (doc_id, rank) only: the fused float carries each engine's last-ulp
+    BM25 drift, so the oracle-stable surface is the ranking."""
+    from opensearch_jvector_spark.operators.hybrid import linear_fuse
+    from opensearch_jvector_spark.operators.similarity import (
+        topk_bruteforce,
+    )
+    from opensearch_jvector_spark.operators.wand import bm25_topk
+
+    bm = bm25_topk(spark, _index_for(spark, sf_dir), ["spark", "merge"], 20)
+    ann = topk_bruteforce(
+        _embs(spark, sf_dir), _query_vec(spark, sf_dir), 20, "cosine",
+    ).withColumnRenamed("vec_id", "doc_id")
+    return linear_fuse(
+        {"bm25": bm, "ann": ann}, k=10,
+        weights={"bm25": 0.3, "ann": 0.7},
+    ).select("doc_id", "rank")
+
+
 #: ids tombstoned by the ann_after_delete entry (vec 0 is the query
 #: vector itself — rank 1 before the delete, so the mask visibly
 #: reshapes the result)
@@ -719,6 +739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_nested_expand": _q_ann_nested_expand,
         "ann_after_delete": _q_ann_after_delete,
         "hybrid_rrf": _q_hybrid_rrf,
+        "hybrid_linear": _q_hybrid_linear,
         "language_id": _q_language_id,
         "quality_score": _q_quality,
         "token_counts": _q_token_counts,
@@ -815,6 +836,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hybrid_rrf": osops.hybrid_rrf_sql(
             ["spark", "merge"], query_vec_id=0, n_each=20, k=10
+        ),
+        "hybrid_linear": osops.hybrid_linear_sql(
+            ["spark", "merge"], query_vec_id=0, n_each=20, k=10,
+            w_bm=0.3, w_ann=0.7,
         ),
         "language_id": osops.language_id_sql(),
         "quality_score": osops.quality_score_sql(),

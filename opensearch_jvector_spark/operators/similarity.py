@@ -1235,6 +1235,7 @@ def ivf_append(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     space: str = "cosine",
+    batch_tag: str | None = None,
 ) -> dict:
     """Incremental ANN index maintenance (the reference's flagship
     incremental merge applied to the IVF index): assign NEW vectors to
@@ -1301,6 +1302,8 @@ def ivf_append(
         )
 
     n = e.count()  # id-column count (pushed down), not a lists recompute
+    if batch_tag is not None:
+        return _ivf_append_tagged(lists, cells_dir, index_dir, n, batch_tag)
     (
         lists.repartition("cell")
         .write.mode("append")
@@ -1308,6 +1311,53 @@ def ivf_append(
         .parquet(cells_dir)
     )
     return {"appended": int(n)}
+
+
+def _ivf_append_tagged(
+    lists: DataFrame, cells_dir: str, index_dir: str, n: int, tag: str
+) -> dict:
+    """Exactly-once append for streaming/replayed batches: the batch
+    writes to a per-tag staging tree, then each cell's single output
+    file moves into the live cells dir under a DETERMINISTIC name
+    (``append_<tag>_<i>.parquet``). A Structured Streaming replay of
+    the same batch regenerates identical staging content and SKIPS
+    every already-moved file — no duplicate vectors even when a crash
+    lands between individual moves (the BM25 side's idempotent
+    delta-publish, adapted to a shared partitioned tree where a single
+    rename can't publish all cells at once)."""
+    import re
+    import shutil
+
+    safe = re.sub(r"[^A-Za-z0-9_.-]", "_", tag)
+    staging = os.path.join(index_dir, f"cells_append_{safe}")
+    shutil.rmtree(staging, ignore_errors=True)
+    (
+        lists.repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(staging)
+    )
+    moved = skipped = 0
+    for d in sorted(os.listdir(staging)):
+        if not d.startswith("cell="):
+            continue
+        src_dir = os.path.join(staging, d)
+        dst_dir = os.path.join(cells_dir, d)
+        os.makedirs(dst_dir, exist_ok=True)
+        files = sorted(
+            f for f in os.listdir(src_dir) if f.endswith(".parquet")
+        )
+        for i, f in enumerate(files):
+            dst = os.path.join(dst_dir, f"append_{safe}_{i:04d}.parquet")
+            if os.path.exists(dst):
+                skipped += 1
+                continue
+            os.rename(os.path.join(src_dir, f), dst)
+            moved += 1
+    shutil.rmtree(staging, ignore_errors=True)
+    return {
+        "appended": int(n), "files_moved": moved, "files_skipped": skipped,
+    }
 
 
 # ------------------------------------------------ deletes (tombstones)

@@ -261,11 +261,12 @@ def _hybrid_lists_cte(
 emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 nemb AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM emb),
 qv AS (SELECT v AS qv, norm AS qn FROM nemb WHERE vec_id = {query_vec_id}),
-bm AS (SELECT doc_id, rank FROM (
-  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+bm AS (SELECT doc_id, rank, s FROM (
+  SELECT doc_id, s,
+         row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
   FROM scored) WHERE rank <= {n_each}),
-ann AS (SELECT vec_id AS doc_id, rank FROM (
-  SELECT vec_id,
+ann AS (SELECT vec_id AS doc_id, rank, cos FROM (
+  SELECT vec_id, list_dot_product(v, qv) / (norm * qn) AS cos,
          row_number() OVER (
            ORDER BY list_dot_product(v, qv) / (norm * qn) DESC,
                     vec_id ASC) AS rank
@@ -286,6 +287,32 @@ contrib AS (
   SELECT doc_id, 1.0 / ({rrf_k} + rank) AS c FROM ann)
 SELECT doc_id, round(score, 6) AS score, rank FROM (
   SELECT doc_id, sum(c) AS score,
+         row_number() OVER (ORDER BY sum(c) DESC, doc_id ASC)::INTEGER
+           AS rank
+  FROM contrib GROUP BY doc_id) WHERE rank <= {k}"""
+
+
+def hybrid_linear_sql(
+    terms: list[str], query_vec_id: int, n_each: int, k: int,
+    w_bm: float, w_ann: float,
+) -> str:
+    """Min-max weighted linear fusion of the two lists (normalization
+    processor's min_max + weighted combination). Emits (doc_id, rank)
+    ONLY: normalized scores carry each engine's last-ulp BM25 drift, so
+    the oracle-stable surface is the ranking, not the fused float."""
+    return f"""{_hybrid_lists_cte(terms, query_vec_id, n_each)},
+bmn AS (SELECT doc_id,
+               {w_bm!r} * (CASE WHEN mx = mn THEN 1.0
+                           ELSE (s - mn) / (mx - mn) END) AS c
+        FROM bm CROSS JOIN (SELECT min(s) AS mn, max(s) AS mx FROM bm)),
+annn AS (SELECT doc_id,
+                {w_ann!r} * (CASE WHEN mx = mn THEN 1.0
+                             ELSE (cos - mn) / (mx - mn) END) AS c
+         FROM ann CROSS JOIN
+              (SELECT min(cos) AS mn, max(cos) AS mx FROM ann)),
+contrib AS (SELECT * FROM bmn UNION ALL SELECT * FROM annn)
+SELECT doc_id, rank FROM (
+  SELECT doc_id,
          row_number() OVER (ORDER BY sum(c) DESC, doc_id ASC)::INTEGER
            AS rank
   FROM contrib GROUP BY doc_id) WHERE rank <= {k}"""

@@ -362,3 +362,38 @@ def stream_append(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_append_vectors(
+    spark: SparkSession,
+    index_dir: str,
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    space: str = "cosine",
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Attach an IVF-append sink to a streaming DataFrame of
+    embeddings: each micro-batch assigns new vectors to the EXISTING
+    centroids and appends cell files (``ivf_append`` — centroid and
+    codebook reuse, no rebuild). The per-batch tag makes replays
+    exactly-once: a restarted query regenerates the same batch and its
+    deterministic file names are skipped, never double-appended. The
+    ANN analog of ``stream_append`` above."""
+    from ..operators.similarity import ivf_append
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        ivf_append(
+            spark, index_dir, batch_df, id_col=id_col, vec_col=vec_col,
+            space=space, batch_tag=f"stream-{batch_id}",
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
