@@ -384,7 +384,7 @@ def _q_ann_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.isdir(os.path.join(d, "centroids")):
         ivf_build(
             _embs(spark, sf_dir), d, n_centroids=16, kmeans_iters=1,
-            pq_m=8, sq=True,
+            pq_m=8, sq=True, bq=True,
         )
     ivf_delete(d, _DELETED_VEC_IDS)
     return ivf_query(
@@ -412,9 +412,10 @@ def _q_ann_nested_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_dir(sf_dir: str) -> str:
-    # v4: hash-sampled PQ codebooks (order-unbiased training sample)
+    # v5: adds packed-sign bq_code column + thresholds (1-bit binary
+    # quantization); v4 was hash-sampled PQ codebooks
     return os.path.join(
-        "/tmp/ojs_ivf4", os.path.abspath(sf_dir).strip("/").replace("/", "_")
+        "/tmp/ojs_ivf5", os.path.abspath(sf_dir).strip("/").replace("/", "_")
     )
 
 
@@ -430,7 +431,7 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_ivf(
         _embs(spark, sf_dir), _query_vec(spark, sf_dir), k=10,
         n_centroids=16, n_probe=4, index_dir=_ivf_dir(sf_dir),
-        kmeans_iters=1, pq_m=8, sq=True,
+        kmeans_iters=1, pq_m=8, sq=True, bq=True,
     )
 
 
@@ -446,7 +447,7 @@ def _q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_ivf(
         _embs(spark, sf_dir), _query_vec(spark, sf_dir), k=10,
         n_centroids=16, n_probe=4, index_dir=_ivf_dir(sf_dir),
-        kmeans_iters=1, pq_m=8, sq=True, use_pq=True, overquery=50,
+        kmeans_iters=1, pq_m=8, sq=True, bq=True, use_pq=True, overquery=50,
     )
 
 
@@ -460,7 +461,24 @@ def _q_ann_ivf_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_ivf(
         _embs(spark, sf_dir), _query_vec(spark, sf_dir), k=10,
         n_centroids=16, n_probe=4, index_dir=_ivf_dir(sf_dir),
-        kmeans_iters=1, pq_m=8, sq=True, use_sq=True, overquery=50,
+        kmeans_iters=1, pq_m=8, sq=True, bq=True, use_sq=True, overquery=50,
+    )
+
+
+def _q_ann_ivf_bq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 1-bit binary-quantized path (OneBitScalarQuantizer.java:
+    25-88 + hamming candidate ranking, KNNScoringUtil
+    .calculateHammingBit:179-202): the approximate pass reads ONLY the
+    packed sign bits (64x fewer vector bytes than the stored float64),
+    ranks by hamming distance to the packed query, and the exact
+    rerank restores true cosine order — rank-identical to the exact
+    IVF result at this scale (same oracle)."""
+    from opensearch_jvector_spark.operators.similarity import cosine_topk_ivf
+
+    return cosine_topk_ivf(
+        _embs(spark, sf_dir), _query_vec(spark, sf_dir), k=10,
+        n_centroids=16, n_probe=4, index_dir=_ivf_dir(sf_dir),
+        kmeans_iters=1, pq_m=8, sq=True, bq=True, use_bq=True, overquery=50,
     )
 
 
@@ -472,7 +490,7 @@ def _ensure_ivf(spark: SparkSession, sf_dir: str) -> str:
         cosine_topk_ivf(  # build via the shared path
             _embs(spark, sf_dir), _query_vec(spark, sf_dir), k=1,
             n_centroids=16, n_probe=1, index_dir=index_dir,
-            kmeans_iters=1, pq_m=8, sq=True,
+            kmeans_iters=1, pq_m=8, sq=True, bq=True,
         ).collect()
     return index_dir
 
@@ -728,6 +746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_ivf": _q_ann_ivf,
         "ann_cosine_ivf_pq": _q_ann_ivf_pq,
         "ann_cosine_ivf_sq": _q_ann_ivf_sq,
+        "ann_cosine_ivf_bq": _q_ann_ivf_bq,
         "ann_ivf_batch": _q_ann_ivf_batch,
         "ann_cosine_ivf_filtered": _q_ann_ivf_filtered,
         "ann_cosine_ivf_local": _q_ann_ivf_local,
@@ -798,6 +817,9 @@ def oracle_sql() -> dict[str, str]:
             query_vec_id=0, k=10, n_centroids=16, n_probe=4, kmeans_iters=1
         ),
         "ann_cosine_ivf_sq": osops.cosine_topk_ivf_sql(
+            query_vec_id=0, k=10, n_centroids=16, n_probe=4, kmeans_iters=1
+        ),
+        "ann_cosine_ivf_bq": osops.cosine_topk_ivf_sql(
             query_vec_id=0, k=10, n_centroids=16, n_probe=4, kmeans_iters=1
         ),
         "ann_ivf_batch": osops.cosine_topk_ivf_batch_sql(

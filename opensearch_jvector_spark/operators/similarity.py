@@ -364,6 +364,7 @@ def ivf_build(
     pq_sample: int = 4096,
     pq_sample_mode: str = "hash",
     sq: bool = False,
+    bq: bool = False,
 ) -> str:
     """Build a PERSISTED IVF index — the ANN analog of the posting
     index build (reference: JVectorWriter.flush builds the graph once
@@ -430,6 +431,23 @@ def ivf_build(
             F.col("_sq.sq_code").alias("sq_code"),
             F.col("_sq.sq_scale").alias("sq_scale"),
         )
+    thresholds = None
+    if bq:
+        from .quantize import bq_encode, bq_train
+
+        thresholds = bq_train(
+            _pq_training_sample(e, pq_sample, pq_sample_mode)
+        )
+        bct = embeddings.sparkSession.sparkContext.broadcast(thresholds)
+
+        @F.pandas_udf("binary")
+        def bq_col(vs: pd.Series) -> pd.Series:
+            th = bct.value
+            return pd.Series(
+                [c.tobytes() for c in bq_encode(_stack_batch(vs, len(th)), th)]
+            )
+
+        lists = lists.withColumn("bq_code", bq_col(F.col("v")))
 
     (
         lists.repartition("cell")
@@ -449,6 +467,10 @@ def ivf_build(
         from .quantize import save_codebooks
 
         save_codebooks(index_dir, codebooks)
+    if thresholds is not None:
+        from .quantize import save_bq
+
+        save_bq(index_dir, thresholds)
     return index_dir
 
 
@@ -547,6 +569,7 @@ def ivf_query(
     space: str = "cosine",
     use_pq: bool = False,
     use_sq: bool = False,
+    use_bq: bool = False,
     overquery: int | None = None,
     metrics: dict | None = None,
     filter_ids=None,
@@ -580,21 +603,50 @@ def ivf_query(
         return spark.createDataFrame(
             [], f"vec_id long, {score_name} double, rank int"
         )
-    if not (use_pq or use_sq):
+    if not (use_pq or use_sq or use_bq):
         scored = _exact_scores(
             spark, paths, qv, space, score_name, filter_ids=filter_ids,
             deny=deny,
         )
         return _rank_topk(scored, k, score_name)
-    if use_pq and use_sq:
-        raise ValueError("choose one of use_pq / use_sq")
-    if space not in QUANTIZABLE_SPACES:
+    if sum([use_pq, use_sq, use_bq]) > 1:
+        raise ValueError("choose one of use_pq / use_sq / use_bq")
+    if use_bq:
+        if space != "cosine":
+            raise ValueError(
+                "binary-quantized pass is an angular (sign-bit hamming) "
+                "proxy; cosine only"
+            )
+    elif space not in QUANTIZABLE_SPACES:
         raise ValueError(
             f"quantized pass supports {QUANTIZABLE_SPACES}, got {space!r}"
         )
 
     qn = float(np.linalg.norm(qv))
-    if use_pq:
+    if use_bq:
+        from .quantize import bq_encode, bq_hamming, load_bq
+
+        th = load_bq(index_dir)
+        if th is None:
+            raise ValueError(f"index at {index_dir} was built without bq")
+        qcode = bq_encode(qv[None, :], th)[0]
+        bcb = spark.sparkContext.broadcast(qcode)
+
+        @F.pandas_udf("double")
+        def approx_bq(codes: pd.Series) -> pd.Series:
+            q = bcb.value
+            Cb = np.frombuffer(
+                b"".join(codes.to_numpy()), dtype=np.uint8
+            ).reshape(len(codes), len(q))
+            # fewer differing sign bits = closer angle; negate so the
+            # shared desc ranking applies (exact rerank restores true
+            # cosine order among the survivors)
+            return pd.Series(-bq_hamming(Cb, q).astype(np.float64))
+
+        pass1_schema = "vec_id long, bq_code binary"
+        approx_col = approx_bq(F.col("bq_code"))
+        approx_cols = ("bq_code",)
+    elif use_pq:
         from .quantize import adc_scores, adc_table, load_codebooks
 
         codebooks = load_codebooks(index_dir)
@@ -776,7 +828,9 @@ def _pq_bytes_metrics(
                         name = col.path_in_schema.split(".")[0]
                         if name in col_bytes:
                             col_bytes[name] += col.total_uncompressed_size
-    approx_bytes = sum(col_bytes[c] for c in {*approx_cols, "norm"})
+    # exactly the columns the approximate pass reads (the BQ pass reads
+    # only the packed bits — no norm column)
+    approx_bytes = sum(col_bytes[c] for c in set(approx_cols))
     rerank_bytes = int(col_bytes["v"] * (n_cand / rows)) if rows else 0
     full_bytes = col_bytes["v"] + col_bytes["norm"]
     scanned = approx_bytes + rerank_bytes
@@ -1300,6 +1354,25 @@ def ivf_append(
             F.col("_sq.sq_code").alias("sq_code"),
             F.col("_sq.sq_scale").alias("sq_scale"),
         )
+    if "bq_code" in existing_cols:
+        from .quantize import bq_encode, load_bq
+
+        th = load_bq(index_dir)
+        if th is None:
+            raise ValueError(
+                f"cells at {cells_dir} carry bq_code but {index_dir} has "
+                "no bq thresholds"
+            )
+        bct = spark.sparkContext.broadcast(th)
+
+        @F.pandas_udf("binary")
+        def bq_col(vs: pd.Series) -> pd.Series:
+            t = bct.value
+            return pd.Series(
+                [c.tobytes() for c in bq_encode(_stack_batch(vs, len(t)), t)]
+            )
+
+        lists = lists.withColumn("bq_code", bq_col(F.col("v")))
 
     n = e.count()  # id-column count (pushed down), not a lists recompute
     if batch_tag is not None:
@@ -1592,8 +1665,10 @@ def cosine_topk_ivf(
     space: str = "cosine",
     use_pq: bool = False,
     use_sq: bool = False,
+    use_bq: bool = False,
     pq_m: int | None = None,
     sq: bool = False,
+    bq: bool = False,
     overquery: int | None = None,
     metrics: dict | None = None,
     filter_ids=None,
@@ -1611,12 +1686,12 @@ def cosine_topk_ivf(
             ivf_build(
                 embeddings, index_dir, n_centroids,
                 kmeans_iters=kmeans_iters, id_col=id_col, vec_col=vec_col,
-                space=space, pq_m=pq_m, sq=sq,
+                space=space, pq_m=pq_m, sq=sq, bq=bq,
             )
         return ivf_query(
             spark, index_dir, query_vec, k, n_probe, space,
-            use_pq=use_pq, use_sq=use_sq, overquery=overquery,
-            metrics=metrics, filter_ids=filter_ids,
+            use_pq=use_pq, use_sq=use_sq, use_bq=use_bq,
+            overquery=overquery, metrics=metrics, filter_ids=filter_ids,
         )
 
     e = embeddings.select(
