@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .similarity import _rank_topk
+
 
 def _check_sources(results: dict[str, DataFrame], id_col: str, need: str):
     if not results:
@@ -36,14 +38,6 @@ def _check_sources(results: dict[str, DataFrame], id_col: str, need: str):
             raise ValueError(
                 f"source {name!r} lacks column(s) {sorted(missing)}"
             )
-
-
-def _rank_fused(fused: DataFrame, k: int, id_col: str) -> DataFrame:
-    topk = fused.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
-    w = Window.orderBy(F.desc("score"), F.asc(id_col))
-    return topk.withColumn("rank", F.row_number().over(w)).select(
-        id_col, F.round("score", 6).alias("score"), "rank"
-    )
 
 
 def rrf_fuse(
@@ -65,7 +59,7 @@ def rrf_fuse(
         )
         contribs = c if contribs is None else contribs.unionAll(c)
     fused = contribs.groupBy(id_col).agg(F.sum("c").alias("score"))
-    return _rank_fused(fused, k, id_col)
+    return _rank_topk(fused, k, "score", id_col=id_col)
 
 
 def linear_fuse(
@@ -88,26 +82,22 @@ def linear_fuse(
         raise ValueError("weights keys must match result keys")
     contribs = None
     for name, df in results.items():
-        # per-list min/max: a 2-row aggregate broadcast back onto the
-        # (top-N sized) list — no window sort needed
-        stats = df.agg(
-            F.min(score_col).alias("_lo"), F.max(score_col).alias("_hi")
-        )
-        c = (
-            df.crossJoin(F.broadcast(stats))
-            .select(
-                F.col(id_col),
-                (
-                    F.lit(float(weights[name]))
-                    * F.when(
-                        F.col("_hi") == F.col("_lo"), F.lit(1.0)
-                    ).otherwise(
-                        (F.col(score_col) - F.col("_lo"))
-                        / (F.col("_hi") - F.col("_lo"))
-                    )
-                ).alias("c"),
-            )
+        # per-list min/max as window aggregates over one constant
+        # partition: the list is top-N sized by contract, and unlike a
+        # separate .agg() + crossJoin this keeps ONE occurrence of the
+        # source lineage in the plan (an agg branch would re-execute
+        # the whole upstream scoring pipeline a second time)
+        w = Window.partitionBy(F.lit(0))
+        lo, hi = F.min(score_col).over(w), F.max(score_col).over(w)
+        c = df.select(
+            F.col(id_col),
+            (
+                F.lit(float(weights[name]))
+                * F.when(hi == lo, F.lit(1.0)).otherwise(
+                    (F.col(score_col) - lo) / (hi - lo)
+                )
+            ).alias("c"),
         )
         contribs = c if contribs is None else contribs.unionAll(c)
     fused = contribs.groupBy(id_col).agg(F.sum("c").alias("score"))
-    return _rank_fused(fused, k, id_col)
+    return _rank_topk(fused, k, "score", id_col=id_col)

@@ -175,21 +175,43 @@ def nested_expand(
     (``ExpandNestedDocsQuery``: after the kNN pass picks parents, every
     sibling gets a real score so nested inner hits are complete).
     ``filter_ids`` masks children in BOTH passes, mirroring the
-    queryFilter handed to ``getAllSiblings``."""
-    scored = _score_children(
-        embeddings, query_vec, children_per_parent, space,
+    queryFilter handed to ``getAllSiblings``.
+
+    Two passes, one corpus scan: pass 1 is the nested top-k; its k
+    winning parents collect to the driver and pass 2 re-reads ONLY
+    their sibling id ranges (coalesced pushable predicates on the
+    stored id — k*cpp rows, not a second corpus-wide scoring pass,
+    which is what a self-join of the scored frame would replan to)."""
+    winners = nested_topk(
+        embeddings, query_vec, k, children_per_parent, space,
         id_col, vec_col, score_name, filter_ids,
     )
-    winners = _rank_parents(
-        _best_child(scored, score_name), k, score_name
-    ).select("parent_id", F.col("rank").alias("parent_rank"))
+    wrows = winners.select("parent_id", "rank").collect()
+    spark = embeddings.sparkSession
+    if not wrows:
+        return spark.createDataFrame(
+            [],
+            f"parent_id long, vec_id long, {score_name} double, "
+            "parent_rank int, child_rank int",
+        )
+    pred = sibling_range_pred(
+        [r["parent_id"] for r in wrows], children_per_parent, id_col
+    )
+    scored = _score_children(
+        embeddings.filter(pred), query_vec, children_per_parent, space,
+        id_col, vec_col, score_name, filter_ids,
+    )
+    rank_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(r["parent_id"]), int(r["rank"])) for r in wrows],
+            "parent_id long, parent_rank int",
+        )
+    )
     w = Window.partitionBy("parent_id").orderBy(
         F.desc(score_name), F.asc("vec_id")
     )
-    # winners is exactly k rows -> broadcast hash join, no shuffle of
-    # the scored children
     return (
-        scored.join(F.broadcast(winners), "parent_id")
+        scored.join(rank_df, "parent_id")
         .withColumn("child_rank", F.row_number().over(w))
         .select(
             "parent_id",
@@ -202,12 +224,11 @@ def nested_expand(
 
 
 def _all_cell_paths(index_dir: str) -> list[str]:
+    from .similarity import _live_cell_dirs, _recover_cell_swaps
+
     root = os.path.join(index_dir, "cells")
-    return sorted(
-        os.path.join(root, d)
-        for d in os.listdir(root)
-        if d.startswith("cell=")
-    )
+    _recover_cell_swaps(root)
+    return [os.path.join(root, d) for d in _live_cell_dirs(root)]
 
 
 def ivf_query_nested(

@@ -399,11 +399,17 @@ def ivf_build(
         "cell", "vec_id", "v", _norm(F.col("v")).alias("norm")
     )
 
+    # one sampling job feeds every quantizer that trains (PQ codebooks,
+    # BQ thresholds) — they deliberately share the same subset
+    sample = (
+        _pq_training_sample(e, pq_sample, pq_sample_mode)
+        if (pq_m is not None or bq)
+        else None
+    )
     codebooks = None
     if pq_m is not None:
         from .quantize import pq_encode, pq_train, save_codebooks
 
-        sample = _pq_training_sample(e, pq_sample, pq_sample_mode)
         codebooks = pq_train(sample, m=pq_m, n_codes=pq_codes)
         bc = embeddings.sparkSession.sparkContext.broadcast(codebooks)
 
@@ -435,9 +441,7 @@ def ivf_build(
     if bq:
         from .quantize import bq_encode, bq_train
 
-        thresholds = bq_train(
-            _pq_training_sample(e, pq_sample, pq_sample_mode)
-        )
+        thresholds = bq_train(sample)
         bct = embeddings.sparkSession.sparkContext.broadcast(thresholds)
 
         @F.pandas_udf("binary")
@@ -545,18 +549,66 @@ def _probe_cells(
     return sorted(int(cells[i]) for i in order)
 
 
-def _cell_paths(index_dir: str, probe: list[int]) -> list[str]:
-    paths = [
-        os.path.join(index_dir, "cells", f"cell={c}") for c in probe
+def _live_cell_dirs(cells_dir: str) -> list[str]:
+    """Directory names matching exactly ``cell=<int>`` — skips
+    compaction leftovers (``.compact``/``.trash``) and staging trees,
+    whose partition values would otherwise poison a tree-wide scan."""
+    import re
+
+    out = []
+    for d in os.listdir(cells_dir):
+        if re.fullmatch(r"cell=\d+", d):
+            out.append(d)
+    return sorted(out, key=lambda s: int(s.split("=")[1]))
+
+
+def _recover_cell_swaps(cells_dir: str) -> None:
+    """Finish or roll back an interrupted compaction swap so the live
+    tree is complete before any read (idempotent, no-op when clean).
+    Per cell: live dir missing + ``.compact`` present -> roll FORWARD
+    (the staged replacement becomes live); live dir missing + only
+    ``.trash`` -> roll BACK (the backup returns; the still-standing
+    tombstones keep queries correct and the next compaction redoes the
+    rewrite); live dir present + leftovers -> the swap completed,
+    delete them."""
+    import re
+    import shutil
+
+    leftovers = [
+        d for d in os.listdir(cells_dir)
+        if re.fullmatch(r"cell=\d+\.(compact|trash)", d)
     ]
+    # roll .compact forward before considering .trash for the same cell
+    for d in sorted(leftovers, key=lambda s: (".trash" in s, s)):
+        old = os.path.join(cells_dir, d.rsplit(".", 1)[0])
+        leftover = os.path.join(cells_dir, d)
+        if not os.path.isdir(leftover):
+            continue  # handled by an earlier iteration
+        if os.path.isdir(old):
+            shutil.rmtree(leftover)
+        else:
+            os.rename(leftover, old)
+
+
+def _cell_paths(index_dir: str, probe: list[int]) -> list[str]:
+    cells_dir = os.path.join(index_dir, "cells")
+    if os.path.isdir(cells_dir):
+        _recover_cell_swaps(cells_dir)
+    paths = [os.path.join(cells_dir, f"cell={c}") for c in probe]
     return [p for p in paths if os.path.isdir(p)]
 
 
-def _rank_topk(scored: DataFrame, k: int, score_name: str) -> DataFrame:
-    topk = scored.orderBy(F.desc(score_name), F.asc("vec_id")).limit(k)
-    w = Window.orderBy(F.desc(score_name), F.asc("vec_id"))
+def _rank_topk(
+    scored: DataFrame, k: int, score_name: str, id_col: str = "vec_id"
+) -> DataFrame:
+    """Shared top-k-with-rank idiom (desc score, asc id tie-break,
+    round-6 presentation) — also the fusion ranker in
+    operators/hybrid.py, so the tie-break/rounding policy has one
+    source of truth."""
+    topk = scored.orderBy(F.desc(score_name), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc(score_name), F.asc(id_col))
     return topk.withColumn("rank", F.row_number().over(w)).select(
-        "vec_id", F.round(score_name, 6).alias(score_name), "rank"
+        id_col, F.round(score_name, 6).alias(score_name), "rank"
     )
 
 
@@ -1390,16 +1442,22 @@ def _ivf_append_tagged(
     lists: DataFrame, cells_dir: str, index_dir: str, n: int, tag: str
 ) -> dict:
     """Exactly-once append for streaming/replayed batches: the batch
-    writes to a per-tag staging tree, then each cell's single output
-    file moves into the live cells dir under a DETERMINISTIC name
-    (``append_<tag>_<i>.parquet``). A Structured Streaming replay of
-    the same batch regenerates identical staging content and SKIPS
-    every already-moved file — no duplicate vectors even when a crash
-    lands between individual moves (the BM25 side's idempotent
-    delta-publish, adapted to a shared partitioned tree where a single
-    rename can't publish all cells at once)."""
+    writes to a per-tag staging tree, each cell's staged output is
+    coalesced to EXACTLY ONE file, and that file publishes into the
+    live cells dir under the deterministic name
+    ``append_<tag>.parquet`` via a single atomic rename. Publication
+    is therefore all-or-nothing PER (tag, cell): a Structured
+    Streaming replay of the same batch skips published cells and
+    publishes the rest — no duplicates and no partial cells, even if
+    the replay's write configuration splits the staging output
+    differently than the crashed run did (file-index-based naming
+    would re-move overlapping content in that case; content-coalesced
+    single-file naming cannot)."""
     import re
     import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
 
     safe = re.sub(r"[^A-Za-z0-9_.-]", "_", tag)
     staging = os.path.join(index_dir, f"cells_append_{safe}")
@@ -1417,16 +1475,24 @@ def _ivf_append_tagged(
         src_dir = os.path.join(staging, d)
         dst_dir = os.path.join(cells_dir, d)
         os.makedirs(dst_dir, exist_ok=True)
+        dst = os.path.join(dst_dir, f"append_{safe}.parquet")
+        if os.path.exists(dst):
+            skipped += 1
+            continue
         files = sorted(
             f for f in os.listdir(src_dir) if f.endswith(".parquet")
         )
-        for i, f in enumerate(files):
-            dst = os.path.join(dst_dir, f"append_{safe}_{i:04d}.parquet")
-            if os.path.exists(dst):
-                skipped += 1
-                continue
-            os.rename(os.path.join(src_dir, f), dst)
-            moved += 1
+        if not files:
+            continue
+        src = os.path.join(src_dir, files[0])
+        if len(files) > 1:  # writer split the cell: coalesce in staging
+            t = pa.concat_tables(
+                [papq.read_table(os.path.join(src_dir, f)) for f in files]
+            )
+            src = os.path.join(src_dir, "_coalesced.parquet")
+            papq.write_table(t, src)
+        os.rename(src, dst)
+        moved += 1
     shutil.rmtree(staging, ignore_errors=True)
     return {
         "appended": int(n), "files_moved": moved, "files_skipped": skipped,
@@ -1464,10 +1530,15 @@ def _tombstone_info(index_dir: str) -> tuple[int, np.ndarray | None]:
     ]
     n = sum(papq.ParquetFile(p).metadata.num_rows for p in files)
     ids = None
-    if n and n <= _TOMB_ISIN_MAX:
+    # raw footer rows overcount when delete batches overlap, so read
+    # and dedupe within a bounded budget before deciding the raw count
+    # is genuinely over the In()-predicate limit
+    if n and n <= _TOMB_ISIN_MAX * 4:
         t = pa.concat_tables([papq.read_table(p) for p in files])
-        ids = np.unique(np.asarray(t["vec_id"].to_pylist(), dtype=np.int64))
-        n = len(ids)  # overlapping delete batches dedupe here
+        uniq = np.unique(np.asarray(t["vec_id"].to_pylist(), dtype=np.int64))
+        n = len(uniq)  # overlapping delete batches dedupe here
+        if n <= _TOMB_ISIN_MAX:
+            ids = uniq
     _TOMB_CACHE[index_dir] = (sig, n, ids)
     return n, ids
 
@@ -1548,8 +1619,12 @@ def ivf_compact_deletes(spark, index_dir: str) -> dict:
       2. one job reads just those cell directories (full schema — PQ/SQ
          columns survive untouched), anti-joins the tombstones, and
          writes a staging tree partitioned by cell;
-      3. each affected cell directory is swapped for its staged
-         replacement (a fully-deleted cell is removed);
+      3. each affected cell swaps to its staged replacement through a
+         recoverable three-step rename (stage to ``cell=N.compact``
+         beside the live dir, back the live dir up to ``cell=N.trash``,
+         promote the replacement) — ``_recover_cell_swaps`` rolls any
+         crash window forward (replacement staged) or back (backup
+         only), so the live tree is never left missing a cell;
       4. the tombstone ledger is cleared LAST — a crash anywhere
          earlier leaves tombstones standing, queries stay correct, and
          re-running compaction is idempotent (an already-rewritten
@@ -1560,16 +1635,18 @@ def ivf_compact_deletes(spark, index_dir: str) -> dict:
     mirroring the reference's graph being rebuilt only on merge)."""
     import shutil
 
+    cells_dir = os.path.join(index_dir, "cells")
+    _recover_cell_swaps(cells_dir)
     n, ids = _tombstone_info(index_dir)
     if n == 0:
         return {"compacted_cells": 0, "removed": 0}
     deny = (n, ids, index_dir)
-    cells_dir = os.path.join(index_dir, "cells")
 
+    live = _live_cell_dirs(cells_dir)
     scan = (
         spark.read.schema("vec_id long, cell int")
         .option("basePath", cells_dir)
-        .parquet(cells_dir)
+        .parquet(*[os.path.join(cells_dir, d) for d in live])
     )
     if ids is not None:
         hits = scan.filter(F.col("vec_id").isin([int(x) for x in ids]))
@@ -1603,10 +1680,12 @@ def ivf_compact_deletes(spark, index_dir: str) -> dict:
         for c in affected:
             old = os.path.join(cells_dir, f"cell={c}")
             new = os.path.join(staging, f"cell={c}")
-            trash = old + ".trash"
-            os.rename(old, trash)
+            compact, trash = old + ".compact", old + ".trash"
             if os.path.isdir(new):
-                os.rename(new, old)
+                os.rename(new, compact)  # replacement lands beside live
+            os.rename(old, trash)
+            if os.path.isdir(compact):
+                os.rename(compact, old)
             shutil.rmtree(trash)
         shutil.rmtree(staging, ignore_errors=True)
     # clear the ledger last (see crash-safety note above)

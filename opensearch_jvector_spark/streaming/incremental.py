@@ -350,9 +350,12 @@ def stream_append(
     top of our idempotent delta-publish commit sequence.
     """
     ensure_chunk_watermark(spark, store)
+    qtag = _query_tag(checkpoint_dir)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        append_index(spark, store, batch_df, batch_tag=f"stream-{batch_id}")
+        append_index(
+            spark, store, batch_df, batch_tag=f"stream-{qtag}-{batch_id}"
+        )
 
     writer = (
         stream_df.writeStream.foreachBatch(sink)
@@ -362,6 +365,21 @@ def stream_append(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _query_tag(checkpoint_dir: str) -> str:
+    """Checkpoint-scoped component of batch tags. Structured Streaming
+    batch_ids restart at 0 for every NEW checkpoint, so a tag of only
+    ``stream-{batch_id}`` would collide across distinct queries against
+    the same index and silently skip the second query's batches; the
+    checkpoint path is the identity that makes replays (same
+    checkpoint, same batch_id) and new queries (new checkpoint)
+    distinguishable."""
+    import hashlib
+
+    return hashlib.sha1(
+        os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:8]
 
 
 def stream_append_vectors(
@@ -383,10 +401,12 @@ def stream_append_vectors(
     ANN analog of ``stream_append`` above."""
     from ..operators.similarity import ivf_append
 
+    qtag = _query_tag(checkpoint_dir)
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         ivf_append(
             spark, index_dir, batch_df, id_col=id_col, vec_col=vec_col,
-            space=space, batch_tag=f"stream-{batch_id}",
+            space=space, batch_tag=f"stream-{qtag}-{batch_id}",
         )
 
     writer = (

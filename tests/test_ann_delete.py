@@ -144,6 +144,39 @@ def test_compact_rewrites_only_affected_cells(spark, tmp_path):
     }
 
 
+def test_compact_swap_crash_recovery(spark, tmp_path):
+    """Simulated compaction-crash windows: a live cell dir missing with
+    only its .trash backup rolls BACK; missing with a staged .compact
+    replacement rolls FORWARD — either way the next query (via
+    _cell_paths' recovery preamble) sees a complete live tree and
+    answers exactly as before."""
+    import shutil
+
+    d = _build(spark, tmp_path)
+    q = _qvec(spark)
+    before = _ranks(ivf_query(spark, d, q, k=10, n_probe=N_CELLS))
+    cells = os.path.join(d, "cells")
+    live = os.path.join(
+        cells,
+        sorted(c for c in os.listdir(cells) if c.startswith("cell="))[0],
+    )
+
+    # window A: crash between backup rename and promotion, no staged
+    # replacement (fully-deleted-cell path) -> roll back
+    os.rename(live, live + ".trash")
+    assert _ranks(ivf_query(spark, d, q, k=10, n_probe=N_CELLS)) == before
+    assert os.path.isdir(live) and not os.path.isdir(live + ".trash")
+
+    # window B: replacement staged beside the live dir, live renamed
+    # away -> roll forward (and the stale backup is swept)
+    shutil.copytree(live, live + ".compact")
+    os.rename(live, live + ".trash")
+    assert _ranks(ivf_query(spark, d, q, k=10, n_probe=N_CELLS)) == before
+    assert os.path.isdir(live)
+    assert not os.path.isdir(live + ".compact")
+    assert not os.path.isdir(live + ".trash")
+
+
 def test_tombstones_content_addressed_and_idempotent(spark, tmp_path):
     d = _build(spark, tmp_path)
     t1 = ivf_delete(d, [5, 3, 9])
