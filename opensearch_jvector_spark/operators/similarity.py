@@ -542,7 +542,13 @@ def _probe_cells(
     index_dir: str, qv: np.ndarray, n_probe: int, space: str
 ) -> list[int]:
     """Driver-side probe decision over the tiny centroid table; the
-    Spark job then scans only the chosen cell=... directories."""
+    Spark job then scans only the chosen cell=... directories. Every
+    query path enters here, so this is also where an interrupted
+    compaction swap gets rolled forward/back before any cell is read
+    (idempotent listdir when clean)."""
+    cells_dir = os.path.join(index_dir, "cells")
+    if os.path.isdir(cells_dir):
+        _recover_cell_swaps(cells_dir)
     cells, C = _load_centroids(index_dir)
     sims = _np_space_scores(qv[None, :], C, space)[0]
     order = np.lexsort((cells, -sims))[:n_probe]
@@ -1355,6 +1361,7 @@ def ivf_append(
     import pyarrow.parquet as papq
 
     cells_dir = os.path.join(index_dir, "cells")
+    _recover_cell_swaps(cells_dir)  # never sample/append into leftovers
     _, C = _load_centroids(index_dir)
     e = embeddings.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")

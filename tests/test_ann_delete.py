@@ -168,10 +168,13 @@ def test_compact_swap_crash_recovery(spark, tmp_path):
     assert os.path.isdir(live) and not os.path.isdir(live + ".trash")
 
     # window B: replacement staged beside the live dir, live renamed
-    # away -> roll forward (and the stale backup is swept)
+    # away -> roll forward (and the stale backup is swept); the
+    # DRIVER-LOCAL path must heal identically (it never calls
+    # _cell_paths, so recovery lives in the shared _probe_cells)
     shutil.copytree(live, live + ".compact")
     os.rename(live, live + ".trash")
-    assert _ranks(ivf_query(spark, d, q, k=10, n_probe=N_CELLS)) == before
+    loc = ivf_query_local(d, q, k=10, n_probe=N_CELLS)
+    assert list(zip(loc["vec_id"], loc["rank"])) == before
     assert os.path.isdir(live)
     assert not os.path.isdir(live + ".compact")
     assert not os.path.isdir(live + ".trash")
