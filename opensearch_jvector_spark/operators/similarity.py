@@ -189,11 +189,16 @@ def rescore_first_pass_k(k: int, dim: int, overquery: int | None) -> int:
     (RescoreContext.getFirstPassK, RescoreContext.java:82-97): when the
     caller does not supply an overquery factor, dimension picks it
     (>=1000 -> 1x: high-dim codes are accurate enough; >=768 -> 2x;
-    else 3x) and the result clamps to [MIN_FIRST_PASS_RESULTS=100,
-    MAX_FIRST_PASS_RESULTS=10000]. A caller-supplied ``overquery`` is
-    exact (k * overquery, no clamp) — the userProvided branch."""
+    else 3x). Either way the result clamps to
+    [MIN_FIRST_PASS_RESULTS=100, MAX_FIRST_PASS_RESULTS=10000] — the
+    reference applies the clamp on the userProvided branch as well
+    (RescoreContext.java:96)."""
     if overquery is not None:
-        return k * int(overquery)
+        # the reference clamps the userProvided branch too
+        # (RescoreContext.getFirstPassK applies [MIN, MAX] regardless,
+        # RescoreContext.java:96): tiny k*overquery keeps the
+        # 100-candidate recall floor, huge values respect the 10k cap
+        return min(10_000, max(100, k * int(overquery)))
     if dim >= 1000:
         f = 1.0
     elif dim >= 768:
@@ -497,7 +502,12 @@ def _pq_training_sample(
         )
     elif mode == "hash":
         n = e.count()
-        p = max(1, n // pq_sample)
+        # ceil, not floor: floor degenerates to p=1 (keep everything)
+        # whenever pq_sample <= n < 2*pq_sample, and the orderBy+limit
+        # then takes exactly the lowest-id slice — the first-N bias this
+        # mode exists to avoid (round-4 ADVICE). Ceil accepts a slightly
+        # smaller sample so the kept set always spans the id range.
+        p = max(1, -(-n // pq_sample))
         rows = (
             e.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(p)) == 0)
             .orderBy("vec_id")
@@ -568,6 +578,64 @@ def _live_cell_dirs(cells_dir: str) -> list[str]:
     return sorted(out, key=lambda s: int(s.split("=")[1]))
 
 
+#: swap-journal file name inside <index_dir>/cells — written by the
+#: compactor BEFORE its first rename, removed after the last one, so
+#: readers can tell a LIVE swap (owner process alive) from a CRASHED
+#: one (owner dead) and only ever recover the latter
+_SWAP_JOURNAL = "_swap_journal.json"
+
+
+def _proc_start_ticks(pid: int) -> int | None:
+    """Kernel start time of a pid (guards against pid reuse); None when
+    /proc is unavailable (non-Linux) or the process is gone."""
+    try:
+        with open(f"/proc/{pid}/stat", "rb") as f:
+            stat = f.read().decode("ascii", "replace")
+        # starttime is field 22; comm (field 2) may contain spaces, so
+        # split after the closing paren: state becomes index 0
+        return int(stat.rsplit(") ", 1)[1].split()[19])
+    except (OSError, IndexError, ValueError):
+        return None
+
+
+def _write_swap_journal(cells_dir: str, cells: list[int]) -> str:
+    import json
+
+    path = os.path.join(cells_dir, _SWAP_JOURNAL)
+    pid = os.getpid()
+    with open(path + ".tmp", "w") as f:
+        json.dump(
+            {"pid": pid, "start": _proc_start_ticks(pid), "cells": cells}, f
+        )
+    os.replace(path + ".tmp", path)
+    return path
+
+
+def _swap_owner_alive(journal_path: str) -> bool:
+    """True when the journal's recorded (pid, starttime) still names a
+    living process — i.e. the swap may be IN PROGRESS, not crashed. A
+    malformed journal reads as dead (recover; recovery is idempotent
+    and the compactor rewrites the journal before its next swap)."""
+    import json
+
+    try:
+        with open(journal_path) as f:
+            j = json.load(f)
+        pid = int(j["pid"])
+    except (OSError, ValueError, KeyError, TypeError):
+        return False
+    now = _proc_start_ticks(pid)
+    if now is not None:
+        return j.get("start") is None or now == j["start"]
+    if os.path.isdir("/proc"):
+        return False  # /proc exists but the pid is gone
+    try:  # non-Linux fallback: signal-0 liveness, no reuse guard
+        os.kill(pid, 0)
+        return True
+    except OSError:
+        return False
+
+
 def _recover_cell_swaps(cells_dir: str) -> None:
     """Finish or roll back an interrupted compaction swap so the live
     tree is complete before any read (idempotent, no-op when clean).
@@ -576,10 +644,21 @@ def _recover_cell_swaps(cells_dir: str) -> None:
     ``.trash`` -> roll BACK (the backup returns; the still-standing
     tombstones keep queries correct and the next compaction redoes the
     rewrite); live dir present + leftovers -> the swap completed,
-    delete them."""
+    delete them.
+
+    Recovery only acts when the swap journal PROVES a crash (owner
+    pid+starttime dead) or no journal exists at all. While the owner is
+    alive this is a no-op: round-4 ADVICE — a query racing a LIVE
+    compaction used to rmtree the staged ``.compact`` dir between the
+    compactor's renames, permanently losing the cell's surviving rows."""
     import re
     import shutil
 
+    journal = os.path.join(cells_dir, _SWAP_JOURNAL)
+    if os.path.exists(journal):
+        if _swap_owner_alive(journal):
+            return  # live compaction owns the tree — never touch it
+        # owner crashed mid-swap: recover below, then clear the journal
     leftovers = [
         d for d in os.listdir(cells_dir)
         if re.fullmatch(r"cell=\d+\.(compact|trash)", d)
@@ -594,6 +673,8 @@ def _recover_cell_swaps(cells_dir: str) -> None:
             shutil.rmtree(leftover)
         else:
             os.rename(leftover, old)
+    if os.path.exists(journal):
+        os.remove(journal)
 
 
 def _cell_paths(index_dir: str, probe: list[int]) -> list[str]:
@@ -1348,6 +1429,7 @@ def ivf_append(
     vec_col: str = "embedding",
     space: str = "cosine",
     batch_tag: str | None = None,
+    legacy_tags: tuple = (),
 ) -> dict:
     """Incremental ANN index maintenance (the reference's flagship
     incremental merge applied to the IVF index): assign NEW vectors to
@@ -1435,7 +1517,9 @@ def ivf_append(
 
     n = e.count()  # id-column count (pushed down), not a lists recompute
     if batch_tag is not None:
-        return _ivf_append_tagged(lists, cells_dir, index_dir, n, batch_tag)
+        return _ivf_append_tagged(
+            lists, cells_dir, index_dir, n, batch_tag, legacy_tags
+        )
     (
         lists.repartition("cell")
         .write.mode("append")
@@ -1446,7 +1530,8 @@ def ivf_append(
 
 
 def _ivf_append_tagged(
-    lists: DataFrame, cells_dir: str, index_dir: str, n: int, tag: str
+    lists: DataFrame, cells_dir: str, index_dir: str, n: int, tag: str,
+    legacy_tags: tuple = (),
 ) -> dict:
     """Exactly-once append for streaming/replayed batches: the batch
     writes to a per-tag staging tree, each cell's staged output is
@@ -1459,7 +1544,12 @@ def _ivf_append_tagged(
     the replay's write configuration splits the staging output
     differently than the crashed run did (file-index-based naming
     would re-move overlapping content in that case; content-coalesced
-    single-file naming cannot)."""
+    single-file naming cannot). ``legacy_tags`` lists earlier tag
+    spellings of the SAME batch (e.g. the pre-round-5 ``stream-
+    {batch_id}`` names, before tags became checkpoint-scoped): a cell
+    already published under any of them is skipped, so upgrading the
+    tag format cannot double-append a batch that a crashed old-format
+    run had already published (round-4 ADVICE)."""
     import re
     import shutil
 
@@ -1467,6 +1557,9 @@ def _ivf_append_tagged(
     import pyarrow.parquet as papq
 
     safe = re.sub(r"[^A-Za-z0-9_.-]", "_", tag)
+    legacy_safe = [
+        re.sub(r"[^A-Za-z0-9_.-]", "_", t) for t in legacy_tags
+    ]
     staging = os.path.join(index_dir, f"cells_append_{safe}")
     shutil.rmtree(staging, ignore_errors=True)
     (
@@ -1483,7 +1576,10 @@ def _ivf_append_tagged(
         dst_dir = os.path.join(cells_dir, d)
         os.makedirs(dst_dir, exist_ok=True)
         dst = os.path.join(dst_dir, f"append_{safe}.parquet")
-        if os.path.exists(dst):
+        if os.path.exists(dst) or any(
+            os.path.exists(os.path.join(dst_dir, f"append_{ls}.parquet"))
+            for ls in legacy_safe
+        ):
             skipped += 1
             continue
         files = sorted(
@@ -1684,6 +1780,11 @@ def ivf_compact_deletes(spark, index_dir: str) -> dict:
             .partitionBy("cell")
             .parquet(staging)
         )
+        # the journal marks the swap window: concurrent readers see a
+        # live owner and skip recovery entirely (round-4 ADVICE race —
+        # read-path recovery must never fire during a live swap); after
+        # a crash the dead pid proves recovery is safe
+        journal = _write_swap_journal(cells_dir, affected)
         for c in affected:
             old = os.path.join(cells_dir, f"cell={c}")
             new = os.path.join(staging, f"cell={c}")
@@ -1694,6 +1795,7 @@ def ivf_compact_deletes(spark, index_dir: str) -> dict:
             if os.path.isdir(compact):
                 os.rename(compact, old)
             shutil.rmtree(trash)
+        os.remove(journal)
         shutil.rmtree(staging, ignore_errors=True)
     # clear the ledger last (see crash-safety note above)
     shutil.rmtree(os.path.join(index_dir, "tombstones"))

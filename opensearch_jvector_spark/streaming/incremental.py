@@ -259,6 +259,7 @@ def append_index(
     store: IndexStore,
     new_docs: DataFrame,
     batch_tag: str = "append",
+    legacy_tags: tuple = (),
 ) -> dict:
     """Append a batch of transcript turns (conv_id, turn_idx, text, ...)
     to an existing index. Returns the updated corpus stats.
@@ -280,7 +281,10 @@ def append_index(
     store.clean_stale_stages()
     stats, config = store.read_stats()
     applied = set(stats.get("applied_batches", []))
-    if batch_tag in applied:
+    # legacy_tags: the same batch may already sit in the ledger under
+    # an older tag spelling (pre-checkpoint-scoped stream tags) — a
+    # replay after upgrading must not double-append it
+    if batch_tag in applied or any(t in applied for t in legacy_tags):
         return stats
 
     watermark = int(stats.get("n_chunks", 0))
@@ -295,7 +299,8 @@ def append_index(
             orphans, orphan_waves,
         )
         store.invalidate()
-        if batch_tag in set(stats.get("applied_batches", [])):
+        recovered = set(stats.get("applied_batches", []))
+        if batch_tag in recovered or any(t in recovered for t in legacy_tags):
             return stats  # the crashed batch WAS this batch
         watermark = int(stats["n_chunks"])
 
@@ -353,8 +358,13 @@ def stream_append(
     qtag = _query_tag(checkpoint_dir)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # legacy_tags: a checkpoint created before tags were
+        # checkpoint-scoped may replay a batch it already published
+        # under the old ``stream-{batch_id}`` spelling — treat that
+        # spelling as published too (round-4 ADVICE)
         append_index(
-            spark, store, batch_df, batch_tag=f"stream-{qtag}-{batch_id}"
+            spark, store, batch_df, batch_tag=f"stream-{qtag}-{batch_id}",
+            legacy_tags=(f"stream-{batch_id}",),
         )
 
     writer = (
@@ -407,6 +417,7 @@ def stream_append_vectors(
         ivf_append(
             spark, index_dir, batch_df, id_col=id_col, vec_col=vec_col,
             space=space, batch_tag=f"stream-{qtag}-{batch_id}",
+            legacy_tags=(f"stream-{batch_id}",),
         )
 
     writer = (

@@ -361,7 +361,12 @@ def test_rescore_first_pass_k_dimension_policy():
     assert rescore_first_pass_k(200, 800, None) == 400    # 2x
     assert rescore_first_pass_k(500, 1536, None) == 500   # 1x
     assert rescore_first_pass_k(9000, 64, None) == 10000  # max cap
-    assert rescore_first_pass_k(10, 64, 8) == 80          # user-exact
+    # the userProvided branch clamps too (RescoreContext.java:96):
+    # tiny k*overquery keeps the 100-candidate recall floor, huge
+    # values respect the 10k cap
+    assert rescore_first_pass_k(10, 64, 8) == 100         # 80 -> floor
+    assert rescore_first_pass_k(50, 64, 8) == 400         # user-exact
+    assert rescore_first_pass_k(5000, 64, 8) == 10000     # user cap
 
 
 def test_default_overquery_quantized_smoke(spark, ivf_dir):
