@@ -525,8 +525,32 @@ def _q_ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     allow = _embs(spark, sf_dir).filter(
         F.col("vec_id") % 3 == 0
     ).select("vec_id")
+    # threshold=0 pins the probed-mask path (the IVF-shaped oracle);
+    # the small-filter exact fallback has its own entry below
     return ivf_query(
         spark, index_dir, _query_vec(spark, sf_dir), k=10, n_probe=4,
+        filter_ids=allow, filtered_exact_threshold=0,
+    )
+
+
+def _q_ann_filtered_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-filter EXACT fallback (the reference's filtered_exact_
+    search_threshold switch, KNNSettings.java:87 + the exact iterators,
+    VectorIdsKNNIterator.java:23-112): the allow-list is 10 ids, far
+    under the threshold, so the query bypasses IVF probing and
+    exact-scores exactly the allowed ids — perfect recall regardless
+    of which cells n_probe would have covered. The oracle is brute
+    force OVER THE ALLOW-LIST (not IVF-shaped)."""
+    from opensearch_jvector_spark.operators.similarity import ivf_query
+
+    index_dir = _ensure_ivf(spark, sf_dir)
+    allow = _embs(spark, sf_dir).filter(
+        F.col("vec_id") % 50 == 7
+    ).select("vec_id")
+    # n_probe=1 would miss most of these ids on the probed path — the
+    # fallback makes the probe budget irrelevant
+    return ivf_query(
+        spark, index_dir, _query_vec(spark, sf_dir), k=10, n_probe=1,
         filter_ids=allow,
     )
 
@@ -749,6 +773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_ivf_bq": _q_ann_ivf_bq,
         "ann_ivf_batch": _q_ann_ivf_batch,
         "ann_cosine_ivf_filtered": _q_ann_ivf_filtered,
+        "ann_filtered_exact": _q_ann_filtered_exact,
         "ann_cosine_ivf_local": _q_ann_ivf_local,
         "ann_radial": _q_ann_radial,
         "ann_hamming_topk": _q_ann_hamming,
@@ -828,6 +853,11 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_ivf_filtered": osops.cosine_topk_ivf_sql(
             query_vec_id=0, k=10, n_centroids=16, n_probe=4, kmeans_iters=1,
             filter_where="vec_id % 3 = 0",
+        ),
+        # exact fallback: brute force over the allow-list, NOT
+        # IVF-shaped — perfect recall is the contract
+        "ann_filtered_exact": osops.cosine_topk_sql(
+            query_vec_id=0, k=10, filter_where="vec_id % 50 = 7"
         ),
         "ann_cosine_ivf_local": osops.cosine_topk_ivf_sql(
             query_vec_id=0, k=10, n_centroids=16, n_probe=4, kmeans_iters=1

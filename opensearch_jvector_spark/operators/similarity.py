@@ -83,6 +83,148 @@ def space_score_col(v, q, space: str, vnorm=None, qnorm=None):
     raise ValueError(f"unknown space {space!r}; supported: {SPACES}")
 
 
+#: filter-cardinality threshold below which filtered ANN queries skip
+#: IVF probing and exact-score exactly the allowed ids (the reference's
+#: index.knn.advanced.filtered_exact_search_threshold,
+#: KNNSettings.java:87, dispatching to the exact iterators
+#: VectorIdsKNNIterator.java:23-112). Probed-cell masking alone loses
+#: recall silently on selective filters: an allowed doc whose cell is
+#: not probed is unfindable and the caller just gets k' < k rows.
+#: Below the threshold the exact path is BOTH perfectly correct and
+#: cheaper — a vec_id-pushdown read of at most ``threshold`` rows.
+FILTERED_EXACT_THRESHOLD = 1000
+
+
+def _allow_ids_if_small(filter_ids, threshold: int) -> list[int] | None:
+    """The allow-list as a sorted id list when its cardinality is at
+    most ``threshold``, else None (stay on the probed-IVF path). A
+    DataFrame filter is probed with a LIMIT threshold+1 collect — a
+    bounded job, never an unbounded count."""
+    if filter_ids is None or threshold <= 0:
+        return None
+    if isinstance(filter_ids, DataFrame):
+        if "vec_id" not in filter_ids.columns:
+            raise ValueError("filter_ids DataFrame needs a vec_id column")
+        rows = (
+            filter_ids.select(F.col("vec_id").cast("long"))
+            .distinct().limit(threshold + 1).collect()
+        )
+        if len(rows) > threshold:
+            return None
+        return sorted(int(r["vec_id"]) for r in rows)
+    ids = sorted({int(x) for x in filter_ids})
+    return ids if len(ids) <= threshold else None
+
+
+def filtered_exact_query(
+    spark,
+    index_dir: str,
+    query_vec: list[float],
+    k: int,
+    allow_ids: list[int],
+    space: str = "cosine",
+    min_score: float | None = None,
+) -> DataFrame:
+    """Exact top-k over EXACTLY the allowed ids — the small-filter
+    fallback (VectorIdsKNNIterator.java:23-112: score every filtered
+    doc, no graph/probe approximation). The scan covers every live
+    cell directory but carries a pushed-down ``vec_id IN (...)``
+    predicate, so parquet row-group pruning bounds the bytes read by
+    the allow-list, not the corpus. Tombstones still mask (deletes
+    win over filters). Perfect recall by construction.
+
+    Scale note: at very large cell counts a (vec_id -> cell) locator
+    table would prune directories too; the pushdown already keeps the
+    data-page read proportional to the filter, which is the term that
+    matters."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    cells_dir = os.path.join(index_dir, "cells")
+    if os.path.isdir(cells_dir):
+        _recover_cell_swaps(cells_dir)
+    paths = [
+        os.path.join(cells_dir, d) for d in _live_cell_dirs(cells_dir)
+    ]
+    score_name = "cos" if space == "cosine" else "score"
+    if not paths or not allow_ids:
+        return spark.createDataFrame(
+            [], f"vec_id long, {score_name} double, rank int"
+        )
+    scored = _exact_scores(
+        spark, paths, qv, space, score_name,
+        extra_filter=F.col("vec_id").isin([int(x) for x in allow_ids]),
+        deny=_deny_info(index_dir),
+    )
+    if min_score is not None:  # radial form: threshold, not top-k
+        scored = scored.filter(F.col(score_name) >= min_score)
+        w = Window.orderBy(F.desc(score_name), F.asc("vec_id"))
+        return scored.withColumn("rank", F.row_number().over(w)).select(
+            "vec_id", F.round(score_name, 6).alias(score_name), "rank"
+        )
+    return _rank_topk(scored, k, score_name)
+
+
+def _filtered_exact_batch(
+    spark, index_dir: str, qids: list, Q: np.ndarray, allow_ids: list[int],
+    k: int, space: str,
+) -> DataFrame:
+    """Batch form of the small-filter exact fallback: ONE pushdown read
+    of the allowed ids, one kernel scoring every query against every
+    allowed vector (the allow-list is <= threshold rows, so the full
+    query-cross-allow score matrix is small by construction)."""
+    cells_dir = os.path.join(index_dir, "cells")
+    if os.path.isdir(cells_dir):
+        _recover_cell_swaps(cells_dir)
+    paths = [
+        os.path.join(cells_dir, d) for d in _live_cell_dirs(cells_dir)
+    ]
+    score_name = "cos" if space == "cosine" else "score"
+    out_schema = f"query_id string, vec_id long, {score_name} double"
+    if not paths or not allow_ids:
+        return spark.createDataFrame([], out_schema + ", rank int")
+    qnorms = np.linalg.norm(Q, axis=1)
+    bc = spark.sparkContext.broadcast({"Q": Q, "qids": qids, "qn": qnorms})
+
+    def kernel(batches):
+        from ..functions.runtime import limit_worker_threads
+
+        limit_worker_threads()
+        state = bc.value
+        Qm, ids, qn = state["Q"], state["qids"], state["qn"]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = _stack_batch(pdf["v"], Qm.shape[1])
+            vids = pdf["vec_id"].to_numpy()
+            norms = pdf["norm"].to_numpy(dtype=np.float64)
+            S = _np_exact_batch(M, norms, Qm, qn, space)  # (b, nq)
+            out = {"query_id": [], "vec_id": [], score_name: []}
+            for j, qid in enumerate(ids):
+                out["query_id"].extend([qid] * len(vids))
+                out["vec_id"].extend(vids)
+                out[score_name].extend(S[:, j])
+            yield pd.DataFrame(out)
+
+    scan = spark.read.schema(
+        "vec_id long, v array<double>, norm double"
+    ).parquet(*paths).filter(
+        F.col("vec_id").isin([int(x) for x in allow_ids])
+    )
+    scored = _apply_deny(scan, _deny_info(index_dir)).mapInPandas(
+        kernel, schema=out_schema
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(score_name), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "vec_id",
+            F.round(score_name, 6).alias(score_name), "rank",
+        )
+    )
+
+
 def _apply_allow(df: DataFrame, filter_ids) -> DataFrame:
     """acceptDocs-style allow-list (reference: the ``filter`` sub-query
     becomes a Bits bitmap the graph search consults,
@@ -712,6 +854,7 @@ def ivf_query(
     overquery: int | None = None,
     metrics: dict | None = None,
     filter_ids=None,
+    filtered_exact_threshold: int = FILTERED_EXACT_THRESHOLD,
 ) -> DataFrame:
     """(vec_id, cos|score, rank) — probe the ``n_probe`` nearest cells
     of a persisted IVF index and exact-score ONLY those cells'
@@ -732,7 +875,21 @@ def ivf_query(
     allow-list masks candidates INSIDE the probed-cell scan — cell
     pruning stays on, and with PQ/SQ the mask applies before the
     k*overquery cut so filtered-out docs never eat the budget (the
-    acceptDocs-in-graph-search shape, JVectorReader.java:167-182)."""
+    acceptDocs-in-graph-search shape, JVectorReader.java:167-182).
+    When the allow-list cardinality is at most
+    ``filtered_exact_threshold`` the query bypasses IVF entirely and
+    exact-scores exactly the allowed ids (filtered_exact_search_
+    threshold, KNNSettings.java:87) — selective filters get PERFECT
+    recall instead of silently losing allowed docs whose cells were
+    not probed; pass 0 to disable the fallback."""
+    small = _allow_ids_if_small(filter_ids, filtered_exact_threshold)
+    if small is not None:
+        if metrics is not None:
+            metrics["filtered_exact"] = True
+            metrics["filter_cardinality"] = len(small)
+        return filtered_exact_query(
+            spark, index_dir, query_vec, k, small, space
+        )
     qv = np.asarray(query_vec, dtype=np.float64)
     probe = _probe_cells(index_dir, qv, n_probe, space)
     paths = _cell_paths(index_dir, probe)
@@ -893,6 +1050,7 @@ def ivf_query_radial(
     min_score: float | None = None,
     max_distance: float | None = None,
     filter_ids=None,
+    filtered_exact_threshold: int = FILTERED_EXACT_THRESHOLD,
 ) -> DataFrame:
     """(vec_id, cos|score, rank) — RADIAL search over the probed cells:
     every vector whose score clears the threshold, ordered best-first
@@ -901,9 +1059,17 @@ def ivf_query_radial(
     already had this as ``bm25_radial``). A ``score >= t`` filter
     replaces the top-k limit over the same exact probed-cell scoring
     kernel; like the reference's radial path the result is approximate
-    in the same way IVF top-k is — only probed cells are searched."""
+    in the same way IVF top-k is — only probed cells are searched.
+    Small allow-lists take the exact fallback (perfect recall), like
+    ``ivf_query``."""
     qv = np.asarray(query_vec, dtype=np.float64)
     t = radial_threshold(space, min_score, max_distance)
+    small = _allow_ids_if_small(filter_ids, filtered_exact_threshold)
+    if small is not None:
+        return filtered_exact_query(
+            spark, index_dir, query_vec, k=0, allow_ids=small, space=space,
+            min_score=t,
+        )
     probe = _probe_cells(index_dir, qv, n_probe, space)
     paths = _cell_paths(index_dir, probe)
     score_name = "cos" if space == "cosine" else "score"
@@ -1026,6 +1192,7 @@ def ivf_query_batch(
     overquery: int | None = None,
     metrics: dict | None = None,
     filter_ids=None,
+    filtered_exact_threshold: int = FILTERED_EXACT_THRESHOLD,
 ) -> DataFrame:
     """(query_id, vec_id, cos|score, rank) for a BATCH of query vectors
     in ONE pruned scan (the bm25_topk_batch analog — round 2 ran one
@@ -1045,9 +1212,15 @@ def ivf_query_batch(
     (vec_id pushdown). Per-query results stay rank-identical to
     ``ivf_query`` (same probe rule, same proxy, same budget).
     ``metrics`` receives the batch bytes-scanned accounting;
-    ``filter_ids`` masks candidates before any budget (Q4)."""
+    ``filter_ids`` masks candidates before any budget (Q4); a small
+    allow-list takes the exact fallback for EVERY query in the batch
+    (one pushdown read, one kernel — KNNSettings.java:87 analog)."""
     qids = [q[0] for q in queries]
     Q = np.array([np.asarray(q[1], dtype=np.float64) for q in queries])
+    small = _allow_ids_if_small(filter_ids, filtered_exact_threshold)
+    if small is not None:
+        return _filtered_exact_batch(spark, index_dir, qids, Q, small,
+                                     k, space)
     probes = {
         qid: _probe_cells(index_dir, Q[i], n_probe, space)
         for i, qid in enumerate(qids)
@@ -1353,6 +1526,7 @@ def ivf_query_local(
     min_score: float | None = None,
     filter_ids=None,
     max_bytes: int = LOCAL_IVF_MAX_BYTES,
+    filtered_exact_threshold: int = FILTERED_EXACT_THRESHOLD,
 ) -> pd.DataFrame:
     """DRIVER-SIDE IVF query: same probe rule, same float64 scoring,
     same (score desc, vec_id asc) tie-break as ``ivf_query`` — but the
@@ -1370,7 +1544,19 @@ def ivf_query_local(
 
     limit_blas_threads(1)  # 11 ms -> 0.03 ms per tiny matvec (pool tax)
     qv = np.asarray(query_vec, dtype=np.float64)
-    probe = _probe_cells(index_dir, qv, n_probe, space)
+    allow = None
+    if filter_ids is not None:
+        allow = np.fromiter(
+            (int(x) for x in filter_ids), dtype=np.int64
+        )
+    if allow is not None and 0 < len(allow) <= filtered_exact_threshold:
+        # small-filter exact fallback (KNNSettings.java:87): scan EVERY
+        # cell so no allowed id can hide in an unprobed one — still
+        # bounded by max_bytes, and perfectly correct
+        cells_all, _ = _load_centroids(index_dir)
+        probe = sorted(int(c) for c in cells_all)
+    else:
+        probe = _probe_cells(index_dir, qv, n_probe, space)
     score_name = "cos" if space == "cosine" else "score"
     loaded = _local_cells(index_dir, probe)
     tot = sum(m.nbytes for _, m, _ in loaded)
@@ -1398,9 +1584,8 @@ def ivf_query_local(
             )
         live = ~np.isin(ids, tomb_ids)
         ids, M, norms = ids[live], M[live], norms[live]
-    if filter_ids is not None:
-        mask = np.isin(ids, np.fromiter((int(x) for x in filter_ids),
-                                        dtype=np.int64))
+    if allow is not None:
+        mask = np.isin(ids, allow)
         ids, M, norms = ids[mask], M[mask], norms[mask]
     qn = np.linalg.norm(qv)
     s = _np_exact_batch(M, norms, qv[None, :], np.array([qn]), space)[:, 0]
@@ -1860,6 +2045,7 @@ def cosine_topk_ivf(
     overquery: int | None = None,
     metrics: dict | None = None,
     filter_ids=None,
+    filtered_exact_threshold: int = FILTERED_EXACT_THRESHOLD,
 ) -> DataFrame:
     """IVF top-k. With ``index_dir`` (the production path) the
     persisted index is built once if missing and every query just
@@ -1880,6 +2066,7 @@ def cosine_topk_ivf(
             spark, index_dir, query_vec, k, n_probe, space,
             use_pq=use_pq, use_sq=use_sq, use_bq=use_bq,
             overquery=overquery, metrics=metrics, filter_ids=filter_ids,
+            filtered_exact_threshold=filtered_exact_threshold,
         )
 
     e = embeddings.select(

@@ -159,14 +159,20 @@ WHERE a.vec_id < b.vec_id
   AND list_dot_product(a.v, b.v) / (a.norm * b.norm) >= {threshold!r}"""
 
 
-def cosine_topk_sql(query_vec_id: int, k: int) -> str:
+def cosine_topk_sql(
+    query_vec_id: int, k: int, filter_where: str | None = None
+) -> str:
+    """Brute-force cosine top-k; with ``filter_where`` the ranked set
+    is EXACTLY the allowed ids (the oracle shape for the small-filter
+    exact fallback — allow-list brute force, NOT IVF-shaped)."""
+    where = f"WHERE {filter_where}" if filter_where else ""
     return f"""WITH {_EMB},
 q AS (SELECT v AS qv, norm AS qn FROM ne WHERE vec_id = {query_vec_id})
 SELECT vec_id, round(cos, 6) AS cos, rank FROM (
   SELECT vec_id, list_dot_product(v, qv) / (norm * qn) AS cos,
          row_number() OVER (ORDER BY list_dot_product(v, qv) / (norm * qn) DESC,
                             vec_id ASC)::INTEGER AS rank
-  FROM ne CROSS JOIN q) WHERE rank <= {k}"""
+  FROM ne CROSS JOIN q {where}) WHERE rank <= {k}"""
 
 
 def topk_space_sql(query_vec_id: int, k: int, space: str) -> str:

@@ -70,7 +70,10 @@ def test_filtered_ivf_matches_manual_and_scan_stays_pruned(spark, ivf_dir):
     test, transplanted)."""
     q = _qvec(spark, 0)
     allow = _emb(spark).filter(F.col("vec_id") % 3 == 0).select("vec_id")
-    res = ivf_query(spark, ivf_dir, q, 10, n_probe=4, filter_ids=allow)
+    # threshold=0 pins the probed-mask path (the small-filter exact
+    # fallback is tested separately in test_filtered_exact.py)
+    res = ivf_query(spark, ivf_dir, q, 10, n_probe=4, filter_ids=allow,
+                    filtered_exact_threshold=0)
     got = [(r.vec_id, r.cos, r.rank) for r in res.collect()]
 
     probe = set(_probe_cells(ivf_dir, np.asarray(q), 4, "cosine"))
@@ -107,7 +110,8 @@ def test_filtered_pq_mask_applies_before_overquery_budget(spark, ivf_dir):
     exact = [
         tuple(r)
         for r in ivf_query(
-            spark, ivf_dir, q, k, n_probe=4, filter_ids=allow
+            spark, ivf_dir, q, k, n_probe=4, filter_ids=allow,
+            filtered_exact_threshold=0,
         ).collect()
     ]
     for kw in ({"use_pq": True}, {"use_sq": True}):
@@ -115,7 +119,7 @@ def test_filtered_pq_mask_applies_before_overquery_budget(spark, ivf_dir):
             tuple(r)
             for r in ivf_query(
                 spark, ivf_dir, q, k, n_probe=4, filter_ids=allow,
-                overquery=40, **kw,
+                overquery=40, filtered_exact_threshold=0, **kw,
             ).collect()
         ]
         assert len(got) == k
@@ -226,7 +230,8 @@ def test_batch_filtered(spark, ivf_dir):
     allow = _emb(spark).filter(F.col("vec_id") % 3 == 0).select("vec_id")
     for kw in ({}, {"use_pq": True, "overquery": 50}):
         rows = ivf_query_batch(
-            spark, ivf_dir, queries, k=5, n_probe=4, filter_ids=allow, **kw
+            spark, ivf_dir, queries, k=5, n_probe=4, filter_ids=allow,
+            filtered_exact_threshold=0, **kw
         ).collect()
         assert rows and all(r.vec_id % 3 == 0 for r in rows), kw
         for i in qids:
@@ -234,7 +239,7 @@ def test_batch_filtered(spark, ivf_dir):
                 (r.vec_id, r.cos, r.rank)
                 for r in ivf_query(
                     spark, ivf_dir, vecs[i], 5, n_probe=4,
-                    filter_ids=allow, **kw,
+                    filter_ids=allow, filtered_exact_threshold=0, **kw,
                 ).collect()
             ]
             got = sorted(
