@@ -384,7 +384,7 @@ def _q_ann_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.isdir(os.path.join(d, "centroids")):
         ivf_build(
             _embs(spark, sf_dir), d, n_centroids=16, kmeans_iters=1,
-            pq_m=8, sq=True, bq=True,
+            pq_m=8, sq=True, bq=True, msq_bits=2,
         )
     ivf_delete(d, _DELETED_VEC_IDS)
     return ivf_query(
@@ -412,10 +412,10 @@ def _q_ann_nested_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_dir(sf_dir: str) -> str:
-    # v5: adds packed-sign bq_code column + thresholds (1-bit binary
-    # quantization); v4 was hash-sampled PQ codebooks
+    # v6: adds msq_code column + threshold planes (2-bit multi-bit
+    # scalar quantization); v5 was packed-sign 1-bit bq
     return os.path.join(
-        "/tmp/ojs_ivf5", os.path.abspath(sf_dir).strip("/").replace("/", "_")
+        "/tmp/ojs_ivf6", os.path.abspath(sf_dir).strip("/").replace("/", "_")
     )
 
 
@@ -431,7 +431,26 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_ivf(
         _embs(spark, sf_dir), _query_vec(spark, sf_dir), k=10,
         n_centroids=16, n_probe=4, index_dir=_ivf_dir(sf_dir),
-        kmeans_iters=1, pq_m=8, sq=True, bq=True,
+        kmeans_iters=1, pq_m=8, sq=True, bq=True, msq_bits=2,
+    )
+
+
+def _q_ann_ivf_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF behind the TWO-LEVEL coarse probe (hierarchy analog,
+    JVectorDiskANNMethod.java:37-89): the index persists a
+    ~sqrt(n_cells) coarse quantizer over its centroids and the query
+    scores the coarse table first, opening only the winning groups'
+    fine-centroid files — probe work sublinear in cell count. At this
+    SF the default coarse fan-out covers every group, so the probe
+    decision coincides exactly with flat probing and the exact-IVF SQL
+    stays the oracle; the sublinear regime (>=4096 cells, fraction-of-
+    table probe cost) is pinned by tests/test_coarse_probe.py."""
+    from opensearch_jvector_spark.operators.similarity import cosine_topk_ivf
+
+    return cosine_topk_ivf(
+        _embs(spark, sf_dir), _query_vec(spark, sf_dir), k=10,
+        n_centroids=16, n_probe=4, index_dir=_ivf_dir(sf_dir) + "_coarse",
+        kmeans_iters=1, coarse=True,
     )
 
 
@@ -447,7 +466,7 @@ def _q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_ivf(
         _embs(spark, sf_dir), _query_vec(spark, sf_dir), k=10,
         n_centroids=16, n_probe=4, index_dir=_ivf_dir(sf_dir),
-        kmeans_iters=1, pq_m=8, sq=True, bq=True, use_pq=True, overquery=50,
+        kmeans_iters=1, pq_m=8, sq=True, bq=True, msq_bits=2, use_pq=True, overquery=50,
     )
 
 
@@ -461,7 +480,7 @@ def _q_ann_ivf_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_ivf(
         _embs(spark, sf_dir), _query_vec(spark, sf_dir), k=10,
         n_centroids=16, n_probe=4, index_dir=_ivf_dir(sf_dir),
-        kmeans_iters=1, pq_m=8, sq=True, bq=True, use_sq=True, overquery=50,
+        kmeans_iters=1, pq_m=8, sq=True, bq=True, msq_bits=2, use_sq=True, overquery=50,
     )
 
 
@@ -478,7 +497,26 @@ def _q_ann_ivf_bq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_ivf(
         _embs(spark, sf_dir), _query_vec(spark, sf_dir), k=10,
         n_centroids=16, n_probe=4, index_dir=_ivf_dir(sf_dir),
-        kmeans_iters=1, pq_m=8, sq=True, bq=True, use_bq=True, overquery=50,
+        kmeans_iters=1, pq_m=8, sq=True, bq=True, msq_bits=2, use_bq=True, overquery=50,
+    )
+
+
+def _q_ann_ivf_sq2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 2-bit MULTI-BIT scalar-quantized path
+    (MultiBitScalarQuantizer.java + BitPacker.java): two threshold
+    planes per dimension at mean +/- sigma/3, packed plane-major, the
+    approximate pass ranks by hamming over both planes' bits (16x
+    compression — the point between 1-bit BQ's 32x and int8 SQ's 8x,
+    CompressionLevel.java:24-31), exact rerank restores true cosine
+    order — rank-identical to the exact IVF result at this scale (same
+    oracle)."""
+    from opensearch_jvector_spark.operators.similarity import cosine_topk_ivf
+
+    return cosine_topk_ivf(
+        _embs(spark, sf_dir), _query_vec(spark, sf_dir), k=10,
+        n_centroids=16, n_probe=4, index_dir=_ivf_dir(sf_dir),
+        kmeans_iters=1, pq_m=8, sq=True, bq=True, msq_bits=2,
+        use_msq=True, overquery=50,
     )
 
 
@@ -490,7 +528,7 @@ def _ensure_ivf(spark: SparkSession, sf_dir: str) -> str:
         cosine_topk_ivf(  # build via the shared path
             _embs(spark, sf_dir), _query_vec(spark, sf_dir), k=1,
             n_centroids=16, n_probe=1, index_dir=index_dir,
-            kmeans_iters=1, pq_m=8, sq=True, bq=True,
+            kmeans_iters=1, pq_m=8, sq=True, bq=True, msq_bits=2,
         ).collect()
     return index_dir
 
@@ -768,9 +806,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": _q_dedup_embedding,
         "ann_cosine_topk": _q_ann_bruteforce,
         "ann_cosine_ivf": _q_ann_ivf,
+        "ann_cosine_ivf_coarse": _q_ann_ivf_coarse,
         "ann_cosine_ivf_pq": _q_ann_ivf_pq,
         "ann_cosine_ivf_sq": _q_ann_ivf_sq,
         "ann_cosine_ivf_bq": _q_ann_ivf_bq,
+        "ann_cosine_ivf_sq2": _q_ann_ivf_sq2,
         "ann_ivf_batch": _q_ann_ivf_batch,
         "ann_cosine_ivf_filtered": _q_ann_ivf_filtered,
         "ann_filtered_exact": _q_ann_filtered_exact,
@@ -837,6 +877,11 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_ivf": osops.cosine_topk_ivf_sql(
             query_vec_id=0, k=10, n_centroids=16, n_probe=4, kmeans_iters=1
         ),
+        # two-level probe covers every coarse group at this SF, so the
+        # probe decision equals flat probing -> exact-IVF SQL oracle
+        "ann_cosine_ivf_coarse": osops.cosine_topk_ivf_sql(
+            query_vec_id=0, k=10, n_centroids=16, n_probe=4, kmeans_iters=1
+        ),
         # PQ path reranks to exactness at this scale -> same oracle
         "ann_cosine_ivf_pq": osops.cosine_topk_ivf_sql(
             query_vec_id=0, k=10, n_centroids=16, n_probe=4, kmeans_iters=1
@@ -845,6 +890,9 @@ def oracle_sql() -> dict[str, str]:
             query_vec_id=0, k=10, n_centroids=16, n_probe=4, kmeans_iters=1
         ),
         "ann_cosine_ivf_bq": osops.cosine_topk_ivf_sql(
+            query_vec_id=0, k=10, n_centroids=16, n_probe=4, kmeans_iters=1
+        ),
+        "ann_cosine_ivf_sq2": osops.cosine_topk_ivf_sql(
             query_vec_id=0, k=10, n_centroids=16, n_probe=4, kmeans_iters=1
         ),
         "ann_ivf_batch": osops.cosine_topk_ivf_batch_sql(

@@ -190,6 +190,90 @@ def load_bq(index_dir: str) -> np.ndarray | None:
     return th[np.argsort(t["dim"].to_numpy())]
 
 
+# ---- multi-bit scalar quantization (MultiBitScalarQuantizer analog) --
+# Reference: quantization/quantizer/MultiBitScalarQuantizer.java trains
+# b threshold PLANES per dimension at mean + iCoef*stddev with
+# iCoef = -1 + 2*(i+1)/(b+1) (calculateThresholds, lines ~150-168;
+# 2-bit -> {-1/3, +1/3} sigma, 4-bit -> {-3/5,-1/5,+1/5,+3/5} sigma),
+# bit-packs each plane (BitPacker.quantizeAndPackBits), and ranks by
+# hamming over ALL planes' bits. This fills the compression points
+# between 1-bit BQ (32x) and int8 SQ: 2-bit = 16x, 4-bit = 8x
+# (index/mapper/CompressionLevel.java:24-31). Same two-pass shape:
+# hamming first pass, exact rerank.
+
+def msq_train(sample: np.ndarray, bits: int) -> np.ndarray:
+    """(bits, d) threshold planes: plane i cuts at
+    mean + (-1 + 2*(i+1)/(bits+1)) * stddev per dimension — the
+    reference's equal-probability-region linear combination
+    (MultiBitScalarQuantizer.calculateThresholds)."""
+    if bits < 2:
+        raise ValueError(
+            "bits must be >= 2 for the multi-bit quantizer (1-bit is "
+            "bq_train's mean-threshold quantizer)"
+        )
+    mean = sample.mean(axis=0)
+    std = sample.std(axis=0)
+    coef = float(bits + 1)
+    return np.stack(
+        [mean + (-1.0 + 2.0 * (i + 1) / coef) * std for i in range(bits)]
+    )
+
+
+def msq_encode(M: np.ndarray, thresholds: np.ndarray) -> np.ndarray:
+    """(b, bits*ceil(d/8)) uint8: per-plane packed sign bits,
+    planes concatenated in order (BitPacker packs plane-major)."""
+    if M.shape[1] != thresholds.shape[1]:
+        raise ValueError(
+            f"dim {M.shape[1]} != thresholds dim {thresholds.shape[1]}"
+        )
+    return np.concatenate(
+        [np.packbits(M > t[None, :], axis=1) for t in thresholds], axis=1
+    )
+
+
+def msq_hamming(codes: np.ndarray, qcode: np.ndarray) -> np.ndarray:
+    """Hamming over the concatenated planes — same XOR+popcount-LUT
+    kernel as the 1-bit path (codes are just wider)."""
+    return bq_hamming(codes, qcode)
+
+
+def save_msq(index_dir: str, thresholds: np.ndarray) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    bits, dim = thresholds.shape
+    d = os.path.join(index_dir, "msq")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "plane": np.repeat(np.arange(bits), dim),
+                "dim": np.tile(np.arange(dim), bits),
+                "threshold": thresholds.reshape(-1),
+            }
+        ),
+        os.path.join(d, "thresholds.parquet"),
+    )
+    meta = os.path.join(d, "meta.json")
+    with open(meta + ".tmp", "w") as f:
+        json.dump({"bits": int(bits), "dim": int(dim)}, f)
+    os.replace(meta + ".tmp", meta)
+
+
+def load_msq(index_dir: str) -> np.ndarray | None:
+    import pyarrow.parquet as pq
+
+    meta_path = os.path.join(index_dir, "msq", "meta.json")
+    if not os.path.exists(meta_path):
+        return None
+    with open(meta_path) as f:
+        meta = json.load(f)
+    t = pq.read_table(os.path.join(index_dir, "msq", "thresholds.parquet"))
+    th = np.asarray(t["threshold"].to_pylist(), dtype=np.float64)
+    order = np.lexsort((t["dim"].to_numpy(), t["plane"].to_numpy()))
+    return th[order].reshape(meta["bits"], meta["dim"])
+
+
 # ---- persisted codebooks (live inside the IVF index dir) ----
 
 def save_codebooks(index_dir: str, codebooks: np.ndarray) -> None:
