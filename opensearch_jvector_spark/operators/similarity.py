@@ -664,6 +664,23 @@ def ivf_build(
             n_groups=coarse if isinstance(coarse, int) and coarse > 1 else None,
             space=space,
         )
+    write_index_manifest(
+        index_dir,
+        space=space,
+        dim=int(np.asarray(C).shape[1]),
+        n_centroids=int(len(C)),
+        quantizers=[
+            q
+            for q, on in (
+                ("pq", pq_m is not None),
+                ("sq", sq),
+                ("bq", bq),
+                ("msq", bool(msq_bits)),
+            )
+            if on
+        ],
+        coarse=bool(coarse),
+    )
     return index_dir
 
 
@@ -755,6 +772,52 @@ CENTROID_CACHE_MAX_BYTES = 256 << 20
 _CENTROID_CACHE = _LRUBytes(CENTROID_CACHE_MAX_BYTES)
 
 
+#: on-disk ANN index layout version (the reference pins index-format
+#: compatibility across upgrades in qa/restart-upgrade/IndexingIT.java:
+#: 46-358 — an old index must answer identically after a code upgrade).
+#: Bump ONLY with a reader for the old layout or an explicit migration.
+#: History: 1 = cells/cell=N (vec_id, v, norm [,code][,sq_code,
+#: sq_scale][,bq_code][,msq_code]) + centroids/ + optional pq/ bq/ msq/
+#: tombstones/ coarse/ centroid_groups/.
+ANN_FORMAT_VERSION = 1
+
+_ANN_MANIFEST = "index_manifest.json"
+
+
+def write_index_manifest(index_dir: str, **extra) -> None:
+    import json
+
+    path = os.path.join(index_dir, _ANN_MANIFEST)
+    payload = {"format_version": ANN_FORMAT_VERSION, **extra}
+    with open(path + ".tmp", "w") as f:
+        json.dump(payload, f, sort_keys=True)
+    os.replace(path + ".tmp", path)
+
+
+def read_index_manifest(index_dir: str) -> dict:
+    """{} for pre-versioning indexes (read as version 1 — the layout
+    never changed before the stamp existed)."""
+    import json
+
+    path = os.path.join(index_dir, _ANN_MANIFEST)
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return json.load(f)
+
+
+def _check_format(index_dir: str) -> None:
+    v = read_index_manifest(index_dir).get(
+        "format_version", ANN_FORMAT_VERSION
+    )
+    if int(v) > ANN_FORMAT_VERSION:
+        raise ValueError(
+            f"index at {index_dir} has format_version {v}; this reader "
+            f"supports <= {ANN_FORMAT_VERSION} — upgrade the engine "
+            "(the layout contract is pinned by tests/test_ann_bwc.py)"
+        )
+
+
 def _load_centroids(index_dir: str) -> tuple[np.ndarray, np.ndarray]:
     import pyarrow.parquet as papq
 
@@ -769,6 +832,7 @@ def _load_centroids(index_dir: str) -> tuple[np.ndarray, np.ndarray]:
     hit = _CENTROID_CACHE.get(index_dir)
     if hit is not None and hit[0] == sig:
         return hit[1], hit[2]
+    _check_format(index_dir)  # once per (re)parse, never per query
     cent = papq.read_table(d)
     cells = np.asarray(cent["cell"].to_pylist(), dtype=np.int64)
     C = np.array(cent["c"].to_pylist(), dtype=np.float64)
@@ -849,6 +913,7 @@ def _load_coarse(index_dir: str) -> tuple[np.ndarray, np.ndarray]:
     hit = _COARSE_CACHE.get(index_dir)
     if hit is not None and hit[0] == sig:
         return hit[1], hit[2]
+    _check_format(index_dir)  # once per (re)parse, never per query
     t = papq.read_table(p)
     groups = np.asarray(t["group"].to_pylist(), dtype=np.int64)
     G = np.array(t["g"].to_pylist(), dtype=np.float64)
@@ -968,7 +1033,11 @@ def _build_coarse_layer(
 
     gdir = os.path.join(index_dir, _GROUPS_DIRNAME)
     cdir = os.path.join(index_dir, _COARSE_DIRNAME)
-    for d in (gdir, cdir):
+    # the coarse table is the COMMIT POINT: remove it first and write
+    # it last, so a crash mid-rebuild leaves _has_coarse()==False and
+    # queries fall back to the (correct, slower) flat probe instead of
+    # hitting a half-written group tree
+    for d in (cdir, gdir):
         if os.path.isdir(d):
             shutil.rmtree(d)
     live_groups = []
@@ -1028,15 +1097,21 @@ def _proc_start_ticks(pid: int) -> int | None:
         return None
 
 
-def _write_swap_journal(cells_dir: str, cells: list[int]) -> str:
+def _write_swap_journal(
+    cells_dir: str, cells: list[int], splits: list[dict] | None = None
+) -> str:
+    """``splits`` (recluster protocol) entries carry enough to finish
+    a crashed swap without the owner: {"old": [ids], "new": [ids],
+    "new_centroids": [[...], ...]}."""
     import json
 
     path = os.path.join(cells_dir, _SWAP_JOURNAL)
     pid = os.getpid()
+    payload = {"pid": pid, "start": _proc_start_ticks(pid), "cells": cells}
+    if splits:
+        payload["splits"] = splits
     with open(path + ".tmp", "w") as f:
-        json.dump(
-            {"pid": pid, "start": _proc_start_ticks(pid), "cells": cells}, f
-        )
+        json.dump(payload, f)
     os.replace(path + ".tmp", path)
     return path
 
@@ -1102,7 +1177,23 @@ def _recover_cell_swaps(cells_dir: str) -> None:
     if os.path.exists(journal):
         if _swap_owner_alive(journal):
             return  # live compaction owns the tree — never touch it
-        # owner crashed mid-swap: recover below, then clear the journal
+        # owner crashed mid-swap: recover below, then clear the journal.
+        # A RECLUSTER journal (old cells -> new cell ids + centroids)
+        # needs its own protocol — the generic same-name pass below
+        # would resurrect an old cell whose rows already live in its
+        # promoted children (duplicates). Handle splits first; their
+        # dirs are gone afterwards, so the generic pass stays safe for
+        # plain compaction leftovers.
+        import json
+
+        try:
+            with open(journal) as f:
+                _j = json.load(f)
+            splits = _j.get("splits") or []
+        except (OSError, ValueError):
+            splits = []
+        for sp in splits:
+            _recover_split(cells_dir, sp)
     leftovers = [
         d for d in os.listdir(cells_dir)
         if re.fullmatch(r"cell=\d+\.(compact|trash)", d)
@@ -1123,6 +1214,104 @@ def _recover_cell_swaps(cells_dir: str) -> None:
         _RECOVER_CLEAN.clear()
     st = os.stat(cells_dir)  # post-recovery state is the clean one
     _RECOVER_CLEAN[cells_dir] = (st.st_ino, st.st_mtime_ns)
+
+
+def _recover_split(cells_dir: str, sp: dict) -> None:
+    """Finish or roll back one crashed RECLUSTER swap (old cells ->
+    new cells under fresh ids; journal payload carries the new
+    centroids so recovery can complete the centroid-table rewrite).
+
+    Commit rule: once EVERY new cell exists (live or staged
+    ``.compact``) the staging phase finished — roll FORWARD (finish the
+    renames, apply the centroid update, drop the ``.trash`` backups).
+    Any new cell missing entirely means the crash hit mid-staging —
+    roll BACK (delete staged children, restore the backups; the
+    centroid table was not yet touched at that point in the
+    protocol)."""
+    import shutil
+
+    index_dir = os.path.dirname(cells_dir)
+    old_ids = [int(x) for x in sp.get("old", [])]
+    new_ids = [int(x) for x in sp.get("new", [])]
+
+    def live(c):
+        return os.path.join(cells_dir, f"cell={c}")
+
+    staged_complete = all(
+        os.path.isdir(live(c)) or os.path.isdir(live(c) + ".compact")
+        for c in new_ids
+    )
+    if staged_complete:
+        for c in old_ids:  # finish step 3: demote remaining old cells
+            if os.path.isdir(live(c)):
+                os.rename(live(c), live(c) + ".trash")
+        for c in new_ids:  # finish step 4: promote staged children
+            if os.path.isdir(live(c) + ".compact"):
+                os.rename(live(c) + ".compact", live(c))
+        _apply_centroid_update(  # step 5, idempotent
+            index_dir,
+            remove_ids=old_ids,
+            add_pairs=list(
+                zip(
+                    new_ids,
+                    [
+                        np.asarray(v, dtype=np.float64)
+                        for v in sp.get("new_centroids", [])
+                    ],
+                )
+            ),
+        )
+        for c in old_ids:  # step 6
+            shutil.rmtree(live(c) + ".trash", ignore_errors=True)
+    else:
+        for c in new_ids:
+            shutil.rmtree(live(c), ignore_errors=True)
+            shutil.rmtree(live(c) + ".compact", ignore_errors=True)
+        for c in old_ids:
+            if not os.path.isdir(live(c)) and os.path.isdir(
+                live(c) + ".trash"
+            ):
+                os.rename(live(c) + ".trash", live(c))
+
+
+def _apply_centroid_update(
+    index_dir: str,
+    remove_ids: list[int] = (),
+    add_pairs: list[tuple] = (),
+    replace: dict | None = None,
+) -> None:
+    """Atomically rewrite the flat centroid table (drop ``remove_ids``,
+    append ``add_pairs``, overwrite vectors per ``replace``) and, when
+    the index carries a coarse layer, rebuild it from the updated
+    table. Idempotent: re-applying the same update is a no-op. The
+    single-file tmp+rename keeps `_load_centroids` readers consistent
+    (they see the old or the new table, never a torn one)."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    cells, C = _load_centroids(index_dir)
+    keep = ~np.isin(cells, np.asarray(list(remove_ids), dtype=np.int64))
+    cells, C = cells[keep], C[keep]
+    rows = {int(c): C[i] for i, c in enumerate(cells)}
+    for cid, vec in add_pairs:
+        rows[int(cid)] = np.asarray(vec, dtype=np.float64)
+    if replace:
+        for cid, vec in replace.items():
+            if int(cid) in rows:
+                rows[int(cid)] = np.asarray(vec, dtype=np.float64)
+    new_cells = np.asarray(sorted(rows), dtype=np.int64)
+    new_C = np.vstack([rows[int(c)] for c in new_cells])
+    path = os.path.join(index_dir, "centroids", "centroids.parquet")
+    papq.write_table(
+        pa.table({"cell": new_cells, "c": list(new_C)}), path + ".tmp"
+    )
+    os.replace(path + ".tmp", path)
+    # stale sibling files would double-count cells on the dir read
+    for f in os.listdir(os.path.dirname(path)):
+        if f.endswith(".parquet") and f != "centroids.parquet":
+            os.remove(os.path.join(os.path.dirname(path), f))
+    if _has_coarse(index_dir):
+        _build_coarse_layer(index_dir, new_cells, new_C)
 
 
 def _cell_paths(index_dir: str, probe: list[int]) -> list[str]:
@@ -2242,6 +2431,28 @@ def ivf_append(
             )
 
         lists = lists.withColumn("bq_code", bq_col(F.col("v")))
+    if "msq_code" in existing_cols:
+        from .quantize import load_msq, msq_encode
+
+        mth = load_msq(index_dir)
+        if mth is None:
+            raise ValueError(
+                f"cells at {cells_dir} carry msq_code but {index_dir} has "
+                "no msq threshold planes"
+            )
+        bcm = spark.sparkContext.broadcast(mth)
+
+        @F.pandas_udf("binary")
+        def msq_col(vs: pd.Series) -> pd.Series:
+            t = bcm.value
+            return pd.Series(
+                [
+                    c.tobytes()
+                    for c in msq_encode(_stack_batch(vs, t.shape[1]), t)
+                ]
+            )
+
+        lists = lists.withColumn("msq_code", msq_col(F.col("v")))
 
     n = e.count()  # id-column count (pushed down), not a lists recompute
     if batch_tag is not None:
