@@ -389,7 +389,7 @@ def _q_ann_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf_delete(d, _DELETED_VEC_IDS)
     return ivf_query(
         spark, d, _query_vec(spark, sf_dir), k=10, n_probe=4,
-        use_pq=True, overquery=50,
+        use_pq=True, overquery=50, approximate_threshold=0,
     )
 
 
@@ -432,6 +432,7 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         _embs(spark, sf_dir), _query_vec(spark, sf_dir), k=10,
         n_centroids=16, n_probe=4, index_dir=_ivf_dir(sf_dir),
         kmeans_iters=1, pq_m=8, sq=True, bq=True, msq_bits=2,
+        approximate_threshold=0,
     )
 
 
@@ -450,7 +451,7 @@ def _q_ann_ivf_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_ivf(
         _embs(spark, sf_dir), _query_vec(spark, sf_dir), k=10,
         n_centroids=16, n_probe=4, index_dir=_ivf_dir(sf_dir) + "_coarse",
-        kmeans_iters=1, coarse=True,
+        kmeans_iters=1, coarse=True, approximate_threshold=0,
     )
 
 
@@ -467,6 +468,7 @@ def _q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         _embs(spark, sf_dir), _query_vec(spark, sf_dir), k=10,
         n_centroids=16, n_probe=4, index_dir=_ivf_dir(sf_dir),
         kmeans_iters=1, pq_m=8, sq=True, bq=True, msq_bits=2, use_pq=True, overquery=50,
+        approximate_threshold=0,
     )
 
 
@@ -481,6 +483,7 @@ def _q_ann_ivf_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
         _embs(spark, sf_dir), _query_vec(spark, sf_dir), k=10,
         n_centroids=16, n_probe=4, index_dir=_ivf_dir(sf_dir),
         kmeans_iters=1, pq_m=8, sq=True, bq=True, msq_bits=2, use_sq=True, overquery=50,
+        approximate_threshold=0,
     )
 
 
@@ -498,6 +501,7 @@ def _q_ann_ivf_bq(spark: SparkSession, sf_dir: str) -> DataFrame:
         _embs(spark, sf_dir), _query_vec(spark, sf_dir), k=10,
         n_centroids=16, n_probe=4, index_dir=_ivf_dir(sf_dir),
         kmeans_iters=1, pq_m=8, sq=True, bq=True, msq_bits=2, use_bq=True, overquery=50,
+        approximate_threshold=0,
     )
 
 
@@ -516,7 +520,7 @@ def _q_ann_ivf_sq2(spark: SparkSession, sf_dir: str) -> DataFrame:
         _embs(spark, sf_dir), _query_vec(spark, sf_dir), k=10,
         n_centroids=16, n_probe=4, index_dir=_ivf_dir(sf_dir),
         kmeans_iters=1, pq_m=8, sq=True, bq=True, msq_bits=2,
-        use_msq=True, overquery=50,
+        use_msq=True, overquery=50, approximate_threshold=0,
     )
 
 
@@ -529,6 +533,7 @@ def _ensure_ivf(spark: SparkSession, sf_dir: str) -> str:
             _embs(spark, sf_dir), _query_vec(spark, sf_dir), k=1,
             n_centroids=16, n_probe=1, index_dir=index_dir,
             kmeans_iters=1, pq_m=8, sq=True, bq=True, msq_bits=2,
+            approximate_threshold=0,
         ).collect()
     return index_dir
 
@@ -548,7 +553,8 @@ def _q_ann_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, v in enumerate(_BATCH_QUERY_IDS)
     ]
     return ivf_query_batch(
-        spark, index_dir, queries, k=5, n_probe=4, use_pq=True, overquery=50
+        spark, index_dir, queries, k=5, n_probe=4, use_pq=True, overquery=50,
+        approximate_threshold=0,
     )
 
 
@@ -568,6 +574,7 @@ def _q_ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_query(
         spark, index_dir, _query_vec(spark, sf_dir), k=10, n_probe=4,
         filter_ids=allow, filtered_exact_threshold=0,
+        approximate_threshold=0,
     )
 
 
@@ -593,6 +600,24 @@ def _q_ann_filtered_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_auto_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-INDEX exact bypass (the reference's approximate_threshold
+    switch, KNNSettings.java:70, default 15_000 at :104): this corpus
+    is a few hundred vectors — far below the threshold — so the engine
+    ignores the (deliberately starved) n_probe=1 budget and
+    exact-scores the WHOLE index. The oracle is corpus brute force
+    (NOT IVF-shaped): perfect recall is the contract; probed IVF at
+    n_probe=1/16 cells would provably miss most of the true top-10
+    (pinned by tests/test_approx_threshold.py)."""
+    from opensearch_jvector_spark.operators.similarity import ivf_query
+
+    index_dir = _ensure_ivf(spark, sf_dir)
+    return ivf_query(
+        spark, index_dir, _query_vec(spark, sf_dir), k=10, n_probe=1,
+        approximate_threshold=15_000,
+    )
+
+
 _RADIAL_MIN_COS = 0.15
 
 
@@ -605,7 +630,7 @@ def _q_ann_radial(spark: SparkSession, sf_dir: str) -> DataFrame:
     index_dir = _ensure_ivf(spark, sf_dir)
     return ivf_query_radial(
         spark, index_dir, _query_vec(spark, sf_dir), n_probe=4,
-        min_score=_RADIAL_MIN_COS,
+        min_score=_RADIAL_MIN_COS, approximate_threshold=0,
     )
 
 
@@ -618,7 +643,8 @@ def _q_ann_ivf_local(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     index_dir = _ensure_ivf(spark, sf_dir)
     pdf = ivf_query_local(
-        index_dir, _query_vec(spark, sf_dir), k=10, n_probe=4
+        index_dir, _query_vec(spark, sf_dir), k=10, n_probe=4,
+        approximate_threshold=0,
     )
     return spark.createDataFrame(pdf, "vec_id long, cos double, rank int")
 
@@ -814,6 +840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_batch": _q_ann_ivf_batch,
         "ann_cosine_ivf_filtered": _q_ann_ivf_filtered,
         "ann_filtered_exact": _q_ann_filtered_exact,
+        "ann_auto_exact": _q_ann_auto_exact,
         "ann_cosine_ivf_local": _q_ann_ivf_local,
         "ann_radial": _q_ann_radial,
         "ann_hamming_topk": _q_ann_hamming,
@@ -907,6 +934,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_filtered_exact": osops.cosine_topk_sql(
             query_vec_id=0, k=10, filter_where="vec_id % 50 = 7"
         ),
+        # small-index bypass: corpus brute force, NOT IVF-shaped —
+        # below approximate_threshold the engine IS exact search
+        "ann_auto_exact": osops.cosine_topk_sql(query_vec_id=0, k=10),
         "ann_cosine_ivf_local": osops.cosine_topk_ivf_sql(
             query_vec_id=0, k=10, n_centroids=16, n_probe=4, kmeans_iters=1
         ),

@@ -359,7 +359,10 @@ def ivf_probe_recall(
         got = {
             int(r["vec_id"])
             for r in ivf_query(
-                spark, index_dir, qv, k, n_probe=n_probe, space=space
+                spark, index_dir, qv, k, n_probe=n_probe, space=space,
+                # the metric is PROBED recall — the small-index exact
+                # bypass would trivially report 1.0 on small corpora
+                approximate_threshold=0,
             ).collect()
         }
         hits += len(truth & got) / max(len(truth), 1)

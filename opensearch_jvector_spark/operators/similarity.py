@@ -94,6 +94,125 @@ def space_score_col(v, q, space: str, vnorm=None, qnorm=None):
 #: cheaper — a vec_id-pushdown read of at most ``threshold`` rows.
 FILTERED_EXACT_THRESHOLD = 1000
 
+#: index-size threshold below which ANN queries skip IVF probing
+#: entirely and exact-score the WHOLE index (the reference's
+#: index.knn.advanced.approximate_threshold, KNNSettings.java:70,
+#: default 15_000 at KNNSettings.java:104: below it the engine
+#: brute-forces instead of building/searching a graph — approximate
+#: structures only pay for themselves past a corpus size, and exact
+#: search over a few thousand vectors is both cheaper and perfectly
+#: correct). Module-level default; every query entry point takes an
+#: ``approximate_threshold`` override (0 disables, forcing the probed
+#: path — what the reference's own small-corpus tests do).
+APPROXIMATE_THRESHOLD = 15_000
+
+#: (index_dir -> (cells_dir signature, threshold, count-or-None)) —
+#: memoizes the early-exit footer count so the per-query decision on a
+#: warm unchanged index is a single scandir, not a footer walk
+_APPROX_COUNT_CACHE: dict = {}
+
+
+def _cells_dir_sig(cells_dir: str):
+    try:
+        return tuple(
+            sorted(
+                (e.name, e.stat().st_mtime_ns)
+                for e in os.scandir(cells_dir)
+            )
+        )
+    except FileNotFoundError:
+        return None
+
+
+def _index_smaller_than(index_dir: str, threshold: int) -> int | None:
+    """Row count of the index when it is at most ``threshold``, else
+    None — decided from parquet FOOTERS with an EARLY EXIT: the walk
+    stops the moment the running count exceeds the threshold, so a
+    billion-row index pays a handful of footer reads, never a full
+    metadata sweep (the decision must stay cheap precisely when the
+    index is big). Tombstoned ids still count toward size — the switch
+    mirrors the reference's segment-size rule (KNNSettings.java:70),
+    which consults doc counts, not live docs; the exact pass still
+    masks tombstones. Memoized per cells-dir signature."""
+    if threshold <= 0:
+        return None
+    cells_dir = os.path.join(index_dir, "cells")
+    sig = _cells_dir_sig(cells_dir)
+    if sig is None:
+        return None
+    hit = _APPROX_COUNT_CACHE.get(index_dir)
+    if hit is not None and hit[0] == sig:
+        _, cap, count = hit
+        if count is not None:  # exact count known (walk completed)
+            return count if count <= threshold else None
+        if threshold <= cap:  # early-exited above an even larger cap
+            return None
+    import pyarrow.parquet as papq
+
+    rows = 0
+    exceeded = False
+    for d in _live_cell_dirs(cells_dir):
+        for base, _, files in os.walk(os.path.join(cells_dir, d)):
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue
+                rows += papq.ParquetFile(
+                    os.path.join(base, fn)
+                ).metadata.num_rows
+                if rows > threshold:
+                    exceeded = True
+                    break
+            if exceeded:
+                break
+        if exceeded:
+            break
+    if len(_APPROX_COUNT_CACHE) > 256:
+        _APPROX_COUNT_CACHE.clear()
+    _APPROX_COUNT_CACHE[index_dir] = (
+        sig, threshold, None if exceeded else rows
+    )
+    return None if exceeded else rows
+
+
+def exact_query_all(
+    spark,
+    index_dir: str,
+    query_vec: list[float],
+    k: int,
+    space: str = "cosine",
+    filter_ids=None,
+    min_score: float | None = None,
+) -> DataFrame:
+    """Exact search over the WHOLE index — the small-index bypass
+    target (approximate_threshold, KNNSettings.java:70): every live
+    cell is scanned and scored at full precision, tombstones and any
+    allow-list still mask. Only reached when the index has at most
+    ``approximate_threshold`` rows, so the full scan is bounded by
+    construction. ``min_score`` switches top-k to radial."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    cells_dir = os.path.join(index_dir, "cells")
+    if os.path.isdir(cells_dir):
+        _recover_cell_swaps(cells_dir)
+    paths = [
+        os.path.join(cells_dir, d) for d in _live_cell_dirs(cells_dir)
+    ]
+    score_name = "cos" if space == "cosine" else "score"
+    if not paths:
+        return spark.createDataFrame(
+            [], f"vec_id long, {score_name} double, rank int"
+        )
+    scored = _exact_scores(
+        spark, paths, qv, space, score_name, filter_ids=filter_ids,
+        deny=_deny_info(index_dir),
+    )
+    if min_score is not None:
+        scored = scored.filter(F.col(score_name) >= min_score)
+        w = Window.orderBy(F.desc(score_name), F.asc("vec_id"))
+        return scored.withColumn("rank", F.row_number().over(w)).select(
+            "vec_id", F.round(score_name, 6).alias(score_name), "rank"
+        )
+    return _rank_topk(scored, k, score_name)
+
 
 def _allow_ids_if_small(filter_ids, threshold: int) -> list[int] | None:
     """The allow-list as a sorted id list when its cardinality is at
@@ -164,13 +283,17 @@ def filtered_exact_query(
 
 
 def _filtered_exact_batch(
-    spark, index_dir: str, qids: list, Q: np.ndarray, allow_ids: list[int],
-    k: int, space: str,
+    spark, index_dir: str, qids: list, Q: np.ndarray,
+    allow_ids: list[int] | None, k: int, space: str, filter_ids=None,
 ) -> DataFrame:
     """Batch form of the small-filter exact fallback: ONE pushdown read
     of the allowed ids, one kernel scoring every query against every
     allowed vector (the allow-list is <= threshold rows, so the full
-    query-cross-allow score matrix is small by construction)."""
+    query-cross-allow score matrix is small by construction).
+    ``allow_ids=None`` is the small-INDEX bypass form
+    (approximate_threshold, KNNSettings.java:70): the whole index is
+    scanned — bounded by the threshold — with any large ``filter_ids``
+    allow-list still masking candidates."""
     cells_dir = os.path.join(index_dir, "cells")
     if os.path.isdir(cells_dir):
         _recover_cell_swaps(cells_dir)
@@ -179,7 +302,7 @@ def _filtered_exact_batch(
     ]
     score_name = "cos" if space == "cosine" else "score"
     out_schema = f"query_id string, vec_id long, {score_name} double"
-    if not paths or not allow_ids:
+    if not paths or (allow_ids is not None and not allow_ids):
         return spark.createDataFrame([], out_schema + ", rank int")
     qnorms = np.linalg.norm(Q, axis=1)
     bc = spark.sparkContext.broadcast({"Q": Q, "qids": qids, "qn": qnorms})
@@ -206,9 +329,13 @@ def _filtered_exact_batch(
 
     scan = spark.read.schema(
         "vec_id long, v array<double>, norm double"
-    ).parquet(*paths).filter(
-        F.col("vec_id").isin([int(x) for x in allow_ids])
-    )
+    ).parquet(*paths)
+    if allow_ids is not None:
+        scan = scan.filter(
+            F.col("vec_id").isin([int(x) for x in allow_ids])
+        )
+    else:
+        scan = _apply_allow(scan, filter_ids)
     scored = _apply_deny(scan, _deny_info(index_dir)).mapInPandas(
         kernel, schema=out_schema
     )
@@ -1351,6 +1478,7 @@ def ivf_query(
     metrics: dict | None = None,
     filter_ids=None,
     filtered_exact_threshold: int = FILTERED_EXACT_THRESHOLD,
+    approximate_threshold: int | None = None,
 ) -> DataFrame:
     """(vec_id, cos|score, rank) — probe the ``n_probe`` nearest cells
     of a persisted IVF index and exact-score ONLY those cells'
@@ -1377,7 +1505,15 @@ def ivf_query(
     exact-scores exactly the allowed ids (filtered_exact_search_
     threshold, KNNSettings.java:87) — selective filters get PERFECT
     recall instead of silently losing allowed docs whose cells were
-    not probed; pass 0 to disable the fallback."""
+    not probed; pass 0 to disable the fallback.
+
+    ``approximate_threshold`` (None = module default
+    ``APPROXIMATE_THRESHOLD``; 0 disables): when the index itself has
+    at most this many rows, probing is pointless — the query
+    exact-scores the WHOLE index instead (the reference's
+    index.knn.advanced.approximate_threshold, KNNSettings.java:70,
+    default 15_000 at :104). Decided from parquet footers with an
+    early exit, so big indexes never pay a metadata sweep."""
     small = _allow_ids_if_small(filter_ids, filtered_exact_threshold)
     if small is not None:
         if metrics is not None:
@@ -1385,6 +1521,19 @@ def ivf_query(
             metrics["filter_cardinality"] = len(small)
         return filtered_exact_query(
             spark, index_dir, query_vec, k, small, space
+        )
+    th_approx = (
+        APPROXIMATE_THRESHOLD
+        if approximate_threshold is None
+        else approximate_threshold
+    )
+    n_small = _index_smaller_than(index_dir, th_approx)
+    if n_small is not None:
+        if metrics is not None:
+            metrics["approximate_bypassed"] = True
+            metrics["index_rows"] = n_small
+        return exact_query_all(
+            spark, index_dir, query_vec, k, space, filter_ids=filter_ids
         )
     qv = np.asarray(query_vec, dtype=np.float64)
     probe = _probe_cells(index_dir, qv, n_probe, space, metrics=metrics)
@@ -1572,6 +1721,7 @@ def ivf_query_radial(
     max_distance: float | None = None,
     filter_ids=None,
     filtered_exact_threshold: int = FILTERED_EXACT_THRESHOLD,
+    approximate_threshold: int | None = None,
 ) -> DataFrame:
     """(vec_id, cos|score, rank) — RADIAL search over the probed cells:
     every vector whose score clears the threshold, ordered best-first
@@ -1582,7 +1732,9 @@ def ivf_query_radial(
     kernel; like the reference's radial path the result is approximate
     in the same way IVF top-k is — only probed cells are searched.
     Small allow-lists take the exact fallback (perfect recall), like
-    ``ivf_query``."""
+    ``ivf_query``; small INDEXES likewise bypass probing entirely
+    (approximate_threshold, KNNSettings.java:70) — the whole index is
+    scored exactly and the radial cut applied to everything."""
     qv = np.asarray(query_vec, dtype=np.float64)
     t = radial_threshold(space, min_score, max_distance)
     small = _allow_ids_if_small(filter_ids, filtered_exact_threshold)
@@ -1590,6 +1742,16 @@ def ivf_query_radial(
         return filtered_exact_query(
             spark, index_dir, query_vec, k=0, allow_ids=small, space=space,
             min_score=t,
+        )
+    th_approx = (
+        APPROXIMATE_THRESHOLD
+        if approximate_threshold is None
+        else approximate_threshold
+    )
+    if _index_smaller_than(index_dir, th_approx) is not None:
+        return exact_query_all(
+            spark, index_dir, query_vec, k=0, space=space,
+            filter_ids=filter_ids, min_score=t,
         )
     probe = _probe_cells(index_dir, qv, n_probe, space)
     paths = _cell_paths(index_dir, probe)
@@ -1714,6 +1876,7 @@ def ivf_query_batch(
     metrics: dict | None = None,
     filter_ids=None,
     filtered_exact_threshold: int = FILTERED_EXACT_THRESHOLD,
+    approximate_threshold: int | None = None,
 ) -> DataFrame:
     """(query_id, vec_id, cos|score, rank) for a BATCH of query vectors
     in ONE pruned scan (the bm25_topk_batch analog — round 2 ran one
@@ -1742,6 +1905,19 @@ def ivf_query_batch(
     if small is not None:
         return _filtered_exact_batch(spark, index_dir, qids, Q, small,
                                      k, space)
+    th_approx = (
+        APPROXIMATE_THRESHOLD
+        if approximate_threshold is None
+        else approximate_threshold
+    )
+    if _index_smaller_than(index_dir, th_approx) is not None:
+        # small-index exact bypass (approximate_threshold,
+        # KNNSettings.java:70): one full scan, one kernel scoring every
+        # query — bounded by the threshold, perfectly correct
+        return _filtered_exact_batch(
+            spark, index_dir, qids, Q, None, k, space,
+            filter_ids=filter_ids,
+        )
     probes = {
         qid: _probe_cells(index_dir, Q[i], n_probe, space)
         for i, qid in enumerate(qids)
@@ -2290,6 +2466,7 @@ def ivf_query_local(
     filter_ids=None,
     max_bytes: int = LOCAL_IVF_MAX_BYTES,
     filtered_exact_threshold: int = FILTERED_EXACT_THRESHOLD,
+    approximate_threshold: int | None = None,
 ) -> pd.DataFrame:
     """DRIVER-SIDE IVF query: same probe rule, same float64 scoring,
     same (score desc, vec_id asc) tie-break as ``ivf_query`` — but the
@@ -2319,6 +2496,21 @@ def ivf_query_local(
             # small-filter exact fallback (KNNSettings.java:87): scan
             # EVERY cell so no allowed id can hide in an unprobed one —
             # still bounded by max_bytes, and perfectly correct
+            _recover_cell_swaps(os.path.join(index_dir, "cells"))
+            cells_all, _ = _load_centroids(index_dir)
+            probe = sorted(int(c) for c in cells_all)
+    if probe is None:
+        # small-INDEX exact bypass (approximate_threshold,
+        # KNNSettings.java:70): below the size threshold probing is
+        # pointless — scan every cell, still bounded by max_bytes.
+        # The memoized early-exit footer count keeps the warm-path
+        # decision to one scandir (~us), preserving the ms/op budget.
+        th_approx = (
+            APPROXIMATE_THRESHOLD
+            if approximate_threshold is None
+            else approximate_threshold
+        )
+        if _index_smaller_than(index_dir, th_approx) is not None:
             _recover_cell_swaps(os.path.join(index_dir, "cells"))
             cells_all, _ = _load_centroids(index_dir)
             probe = sorted(int(c) for c in cells_all)
@@ -2807,6 +2999,7 @@ def cosine_topk_ivf(
     filter_ids=None,
     filtered_exact_threshold: int = FILTERED_EXACT_THRESHOLD,
     coarse: bool | int = False,
+    approximate_threshold: int | None = None,
 ) -> DataFrame:
     """IVF top-k. With ``index_dir`` (the production path) the
     persisted index is built once if missing and every query just
@@ -2829,6 +3022,7 @@ def cosine_topk_ivf(
             use_pq=use_pq, use_sq=use_sq, use_bq=use_bq, use_msq=use_msq,
             overquery=overquery, metrics=metrics, filter_ids=filter_ids,
             filtered_exact_threshold=filtered_exact_threshold,
+            approximate_threshold=approximate_threshold,
         )
 
     e = embeddings.select(
