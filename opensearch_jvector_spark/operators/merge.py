@@ -155,9 +155,15 @@ def _merge_batch(pdf: pd.DataFrame, cap: int) -> pd.DataFrame:
     tf_lens = np.fromiter((len(b) for b in tf_bytes), np.int64, n)
     doc_row_off = np.concatenate(([0], np.cumsum(doc_lens)))
     tf_row_off = np.concatenate(([0], np.cumsum(tf_lens)))
-    all_doc = b"".join(doc_bytes)
-    all_tf = b"".join(tf_bytes)
-    dmv, tmv = memoryview(all_doc), memoryview(all_tf)
+    # NOTE deliberately NO batch-global b"".join here: the kernel is
+    # memory-bandwidth-bound (the contended resource in the 8->32
+    # same-bus scaling regime) and a global join + per-group
+    # memoryview re-slice touches every postings byte TWICE. Fast-path
+    # groups are whole-row spans, so each output payload is ONE
+    # per-group join of the original Arrow-backed bytes objects —
+    # every byte copied exactly once, and no all_doc/all_tf peak-
+    # memory doubling. Only split groups (rare salted stopwords)
+    # re-slice, inside _merge_group.
 
     nb_per_row = np.fromiter((len(a) for a in cols["block_first"]), np.int64, n)
     row_blk_off = np.concatenate(([0], np.cumsum(nb_per_row)))
@@ -185,8 +191,8 @@ def _merge_batch(pdf: pd.DataFrame, cap: int) -> pd.DataFrame:
     # block byte ends: blocks tile each row's bytes contiguously and
     # rows are concatenated in order => next block's offset is this
     # block's end
-    g_doc_end = np.concatenate((g_doc_off[1:], [len(all_doc)]))
-    g_tf_end = np.concatenate((g_tf_off[1:], [len(all_tf)]))
+    g_doc_end = np.concatenate((g_doc_off[1:], [int(doc_row_off[-1])]))
+    g_tf_end = np.concatenate((g_tf_off[1:], [int(tf_row_off[-1])]))
 
     gbs = row_blk_off[starts]            # group block start
     gbe = row_blk_off[ends]              # group block end
@@ -197,12 +203,11 @@ def _merge_batch(pdf: pd.DataFrame, cap: int) -> pd.DataFrame:
     tb = cols["term_bucket"]
     fast = np.nonzero(~needs_split)[0]
     f_starts = starts[fast]
+    f_ends = ends[fast]
     fb0 = gbs[fast]
     fb1 = gbe[fast]
     d_lo = g_doc_off[fb0]
     t_lo = g_tf_off[fb0]
-    d_hi = g_doc_end[fb1 - 1]
-    t_hi = g_tf_end[fb1 - 1]
     counts32 = counts.astype(np.int32)
     out = pd.DataFrame(
         {
@@ -211,10 +216,15 @@ def _merge_batch(pdf: pd.DataFrame, cap: int) -> pd.DataFrame:
             "chunk_id": chunks[f_starts],
             "slice": np.zeros(len(fast), dtype=np.int32),
             "df": g_df[fast].astype(np.int32),
+            # single-copy payloads: one join of whole-row bytes per
+            # group (b"".join returns the sole item itself for
+            # singleton groups — zero copy)
             "doc_bytes": [
-                bytes(dmv[a:b]) for a, b in zip(d_lo, d_hi)
+                b"".join(doc_bytes[s:e]) for s, e in zip(f_starts, f_ends)
             ],
-            "tf_bytes": [bytes(tmv[a:b]) for a, b in zip(t_lo, t_hi)],
+            "tf_bytes": [
+                b"".join(tf_bytes[s:e]) for s, e in zip(f_starts, f_ends)
+            ],
             "block_first": [firsts[a:b] for a, b in zip(fb0, fb1)],
             "block_last": [lasts[a:b] for a, b in zip(fb0, fb1)],
             "block_count": [counts32[a:b] for a, b in zip(fb0, fb1)],
