@@ -110,7 +110,14 @@ def _timed_builds(spark, n_convs: int, scratch: str, trials: int):
     """1 untimed warmup + `trials` timed builds; returns (store, times)."""
     from opensearch_jvector_spark.sources.transcripts import transcripts
 
-    raw = transcripts(spark, n_convs, TURNS_PER_CONV).persist()
+    # input splits are a property of the DATA, not the cluster: pin the
+    # partition count so local[8] and local[32] read the identical
+    # layout (the default tracks defaultParallelism = cores, which
+    # gave the 8-core run 8x coarser splits AND denied both sizes
+    # straggler smoothing — one task per core, no waves)
+    raw = transcripts(
+        spark, n_convs, TURNS_PER_CONV, num_partitions=128
+    ).persist()
     n_turns = raw.count()
     store = None
     times, stage_list = [], []
@@ -451,6 +458,80 @@ def _run_scaling_pair(lo: int, hi: int, n_convs: int) -> dict:
     }
 
 
+def _run_scaling_pair_interleaved(lo: int, hi: int, n_convs: int) -> dict:
+    """INTERLEAVED trials (lo, hi, lo, hi, ...), one fresh process per
+    trial, each with its own untimed warmup build. On a multi-tenant
+    host a contention burst that lands inside one LEG of the
+    sequential protocol biases the ratio in an unknowable direction
+    (observed: the pure-kernel probe itself swinging 2.4x between two
+    runs the same hour); interleaving exposes BOTH core counts to the
+    same contention distribution, and the per-trial launch loadavg
+    stamps let a reader (or the cleanest-trials filter below) reject
+    contaminated trials individually instead of rejecting whole runs."""
+    import subprocess
+
+    scratch = _scaling_scratch()
+    times: dict[int, list[float]] = {lo: [], hi: []}
+    loads: dict[int, list[float]] = {lo: [], hi: []}
+    stages: dict[int, list[dict]] = {lo: [], hi: []}
+    try:
+        for _ in range(SCALING_TRIALS):
+            for cores in (lo, hi):
+                loads[cores].append(round(os.getloadavg()[0], 2))
+                env = dict(
+                    os.environ,
+                    BENCH_WORKER_CORES=str(cores),
+                    BENCH_WORKER_CONVS=str(n_convs),
+                    BENCH_WORKER_SCRATCH=scratch,
+                    BENCH_SCALING_TRIALS="1",
+                )
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)],
+                    env=env, capture_output=True, text=True, timeout=3000,
+                )
+                if proc.returncode != 0:
+                    raise RuntimeError(
+                        f"scaling worker ({cores} cores) failed:\n"
+                        + proc.stderr[-2000:]
+                    )
+                payload = json.loads(proc.stdout.strip().splitlines()[-1])
+                times[cores].append(round(payload["times"][0], 2))
+                stages[cores].append(payload.get("stages", {}))
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    n_turns = n_convs * TURNS_PER_CONV
+
+    def _tps(cores: int) -> float:
+        return n_turns / min(times[cores])
+
+    # cleanest-trials view: only trials launched at loadavg < 1 (no
+    # external tenant). Falls back to all trials when none qualify.
+    def _tps_clean(cores: int) -> float | None:
+        clean = [t for t, ld in zip(times[cores], loads[cores]) if ld < 1.0]
+        return (n_turns / min(clean)) if clean else None
+
+    eff = _tps(hi) / (_tps(lo) * (hi / lo))
+    out = {
+        "protocol": "interleaved",
+        "n_turns": n_turns,
+        "cores_lo": lo,
+        "cores_hi": hi,
+        f"turns_per_sec_local[{lo}]": round(_tps(lo), 1),
+        f"turns_per_sec_local[{hi}]": round(_tps(hi), 1),
+        f"trials_local[{lo}]": times[lo],
+        f"trials_local[{hi}]": times[hi],
+        f"launch_loads_local[{lo}]": loads[lo],
+        f"launch_loads_local[{hi}]": loads[hi],
+        f"stages_local[{lo}]": stages[lo][times[lo].index(min(times[lo]))],
+        f"stages_local[{hi}]": stages[hi][times[hi].index(min(times[hi]))],
+        "efficiency": round(eff, 3),
+    }
+    clo, chi = _tps_clean(lo), _tps_clean(hi)
+    if clo and chi:
+        out["efficiency_clean_trials"] = round(chi / (clo * (hi / lo)), 3)
+    return out
+
+
 def _scaling_scratch() -> str:
     base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
     return tempfile.mkdtemp(prefix="ojs_scale_", dir=base)
@@ -532,9 +613,14 @@ def main() -> None:
         pairs = [(lo_cores, CPUS, sc_turns)]
         if lo_cores > 2:
             pairs.append((2, 8, max(400_000, sc_turns // 3)))
+        runner = (
+            _run_scaling_pair_interleaved
+            if os.environ.get("BENCH_SCALING_INTERLEAVED") == "1"
+            else _run_scaling_pair
+        )
         result["scaling"] = {"pairs": []}
         for lo, hi, turns in pairs:
-            pair = _run_scaling_pair(lo, hi, turns // TURNS_PER_CONV)
+            pair = runner(lo, hi, turns // TURNS_PER_CONV)
             pair.update(_kernel_scaling(lo, hi))
             result["scaling"]["pairs"].append(pair)
         # headline = the primary (CPUS/4 -> CPUS) pair
