@@ -111,12 +111,17 @@ def _timed_builds(spark, n_convs: int, scratch: str, trials: int):
     from opensearch_jvector_spark.sources.transcripts import transcripts
 
     # input splits are a property of the DATA, not the cluster: pin the
-    # partition count so local[8] and local[32] read the identical
-    # layout (the default tracks defaultParallelism = cores, which
-    # gave the 8-core run 8x coarser splits AND denied both sizes
-    # straggler smoothing — one task per core, no waves)
+    # partition count to a pure function of corpus size so local[8]
+    # and local[32] read the identical layout (the default tracks
+    # defaultParallelism = cores, which gave the 8-core leg 4x coarser
+    # splits AND denied both sizes straggler smoothing — one task per
+    # core, no waves). ~187.5k turns per split = 128 splits at the
+    # 24M-turn scaling corpus; the floor keeps small corpora from
+    # paying per-task python-worker overhead on confetti splits
+    # (128 splits at 400k turns measured +50% build wall).
+    n_parts = max(32, (n_convs * TURNS_PER_CONV) // 187_500)
     raw = transcripts(
-        spark, n_convs, TURNS_PER_CONV, num_partitions=128
+        spark, n_convs, TURNS_PER_CONV, num_partitions=n_parts
     ).persist()
     n_turns = raw.count()
     store = None
