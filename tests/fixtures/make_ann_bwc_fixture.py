@@ -76,15 +76,21 @@ def main():
             [int(r[0]), float(r[1]), int(r[2])] for r in df_result
         ]
 
-    pin("exact", ivf_query(spark, idx, q, 5, n_probe=CELLS).collect())
+    # approximate_threshold=0 everywhere: the fixture pins PROBED-path
+    # behavior (the suite conftest replays with the same pin); the
+    # engine default would bypass to exact on this tiny corpus
+    pin("exact", ivf_query(spark, idx, q, 5, n_probe=CELLS,
+                           approximate_threshold=0).collect())
     for flag in ("use_pq", "use_sq", "use_bq", "use_msq"):
         pin(
             flag,
             ivf_query(
-                spark, idx, q, 5, n_probe=CELLS, overquery=50, **{flag: True}
+                spark, idx, q, 5, n_probe=CELLS, overquery=50,
+                approximate_threshold=0, **{flag: True}
             ).collect(),
         )
-    loc = ivf_query_local(idx, q, 5, n_probe=CELLS)
+    loc = ivf_query_local(idx, q, 5, n_probe=CELLS,
+                          approximate_threshold=0)
     pin("local", list(loc.itertuples(index=False)))
 
     with open(os.path.join(FIXTURE, "expected.json"), "w") as f:
